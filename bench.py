@@ -1,0 +1,63 @@
+"""Headline benchmark for the driver (one JSON line to stdout).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Times are
+end-to-end per query (plan + execute + materialize counts).
+
+    python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entrymod
+    from kgforge.session import get_spark
+
+    spark = get_spark(
+        app_name="kgforge-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 4),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+    qs = entrymod.queries()
+    # warm the JVM/IO once with the cheapest query so q1 isn't charged
+    # with session spin-up
+    next(iter(qs.values()))(spark, sf_dir).count()
+
+    total0 = time.perf_counter()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
