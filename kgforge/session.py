@@ -36,6 +36,15 @@ def get_spark(
         else:
             shuffle_partitions = 200
 
+    # Python workers (pandas UDF stages) don't inherit the driver's
+    # sys.path — ship the package root via PYTHONPATH so launching from
+    # any cwd works. On a real cluster, spark-submit --py-files
+    # kgforge.zip provides the same (kgforge/tools/package.py builds it).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pythonpath = os.pathsep.join(
+        p for p in [repo_root, os.environ.get("PYTHONPATH", "")] if p
+    )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -48,6 +57,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # deterministic float behavior for oracle comparisons
         .config("spark.sql.legacy.allowNegativeScaleOfDecimal", "true")
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         .config("spark.driver.memory", os.environ.get("KGFORGE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("KGFORGE_UI", "false"))
     )

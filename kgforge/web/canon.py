@@ -1,0 +1,119 @@
+"""Canonicalization: connected components + deterministic min election.
+
+Hand-rolled alternating large-star/small-star connected components
+(Kiveris et al., "Connected Components in MapReduce and Beyond") over a
+DataFrame edge list — GraphFrames is not available in this sandbox and
+isn't needed: both phases are agg+join (no collect_list, so a
+head-entity hub with millions of neighbors never materializes a single
+giant row). Converges in O(log n) rounds on any graph; our similarity
+clusters have tiny diameter so 2-4 rounds is typical.
+
+Per-iteration localCheckpoint cuts lineage (Catalyst cannot express
+the loop — SURVEY.md §4.2). Determinism: the elected canonical node is
+the lexicographic MIN node id of each component, independent of
+partitioning or iteration order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = bidir.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = m.select(
+        "src", F.least(F.col("mn"), F.col("src")).alias("m")
+    )
+    return (
+        bidir.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct edges large→small, then connect all small neighbors
+    (and u itself) to the minimum."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = directed.join(m, "src").select(
+        F.col("dst").alias("node"), F.col("m"), F.col("src")
+    )
+    out = nbrs.select(F.col("node").alias("src"), F.col("m").alias("dst")).union(
+        nbrs.select(F.col("src").alias("src"), F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Edge list → (node, component) where component = min node id of
+    the node's component. Nodes appearing only as isolated vertices are
+    the caller's concern (map them to themselves)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the edge multiset is stable
+        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
+            e = e2
+            break
+        e = e2
+    # after convergence every node points at its component min
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    return comp.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def canonical_map(edges: DataFrame, all_nodes: DataFrame | None = None) -> DataFrame:
+    """sameAs edges → (node, canon) with min-IRI election; nodes absent
+    from any edge map to themselves when `all_nodes(node)` is given."""
+    cc = connected_components(edges, "a", "b")
+    cmap = cc.select(F.col("node"), F.col("component").alias("canon"))
+    if all_nodes is not None:
+        missing = all_nodes.select("node").distinct().join(cmap, "node", "left_anti")
+        cmap = cmap.union(missing.select("node", F.col("node").alias("canon")))
+    return cmap
+
+
+def rewrite_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Rewrite subj and IRI-objects through the canonical map (two
+    broadcast-or-shuffle joins; AQE handles head-entity skew), then
+    re-dedup (distinct mentions can collapse onto one canonical)."""
+    sm = cmap.select(F.col("node").alias("subj"), F.col("canon").alias("subj_canon"))
+    om = cmap.select(F.col("node").alias("obj"), F.col("canon").alias("obj_canon"))
+    out = (
+        triples.join(sm, "subj", "left")
+        .join(om, "obj", "left")
+        .select(
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            F.col("pred"),
+            # literals (obj_dt non-null) are never rewritten even if
+            # their lexical form collides with a node IRI
+            F.when(
+                F.col("obj_dt").isNull(), F.coalesce("obj_canon", "obj")
+            )
+            .otherwise(F.col("obj"))
+            .alias("obj"),
+            F.col("obj_dt"),
+            *[c for c in triples.columns if c not in ("subj", "pred", "obj", "obj_dt")],
+        )
+    )
+    prov = [c for c in out.columns if c not in ("subj", "pred", "obj", "obj_dt")]
+    if prov:
+        return out.groupBy("subj", "pred", "obj", "obj_dt").agg(
+            *[F.min(c).alias(c) for c in prov]
+        )
+    return out.dropDuplicates(["subj", "pred", "obj", "obj_dt"])

@@ -1,0 +1,152 @@
+"""Entity linking: MinHash-LSH candidate blocking + cosine scoring (J2).
+
+Key scale decision: linking operates on DISTINCT surface forms, not on
+mention occurrences — at 10^12 documents the distinct-surface table is
+orders of magnitude smaller than the mention stream, and the expensive
+pairwise work happens only inside LSH buckets.
+
+Pipeline:
+  distinct surfaces → lower → char-3-gram shingles (JVM expression)
+  → HashingTF sparse vectors → MinHashLSH approxSimilarityJoin
+  (candidate blocking at a loose Jaccard threshold; exact Jaccard is
+  evaluated per candidate pair, so blocking is also a first filter)
+  → cosine scoring:
+      * 'set'   — Otsuka–Ochiai set cosine |A∩B|/sqrt(|A||B|), fully
+                  JVM-columnar (array_intersect), the default
+      * 'tfidf' — TF-IDF-weighted cosine in an Arrow-batched pandas
+                  UDF (north-star scorer); IDF weights from the corpus
+  → sameAs edges (a, b, score) with a < b above `threshold`.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def char_ngrams(col, n: int = 3):
+    """Char n-grams as a JVM expression (no Python): substrings at
+    every offset of lower(col)."""
+    s = F.lower(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+        lambda i: F.substring(s, i, n),
+    )
+
+
+def candidate_pairs(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    jaccard_max_dist: float = 0.7,
+    num_hash_tables: int = 5,
+    tf_features: int = 1 << 18,
+) -> DataFrame:
+    """Distinct surfaces → candidate pairs (a, b, grams_a, grams_b,
+    jaccard) with a < b, via MinHashLSH self-join."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    base = (
+        surfaces.select(F.col(surface_col).alias("surface"))
+        .distinct()
+        .withColumn("grams", char_ngrams(F.col("surface")))
+        .filter(F.size("grams") > 0)
+    )
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=tf_features)
+    feat = tf.transform(base)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, jaccard_max_dist, distCol="jdist")
+    pairs = joined.select(
+        F.col("datasetA.surface").alias("a"),
+        F.col("datasetB.surface").alias("b"),
+        F.col("datasetA.grams").alias("grams_a"),
+        F.col("datasetB.grams").alias("grams_b"),
+        (F.lit(1.0) - F.col("jdist")).alias("jaccard"),
+    ).filter(F.col("a") < F.col("b"))
+    return pairs
+
+
+def score_set_cosine(pairs: DataFrame) -> DataFrame:
+    """Hybrid similarity, pure JVM columnar: max of
+      * Otsuka–Ochiai cosine over gram SETS (robust to reordering and
+        affixes), and
+      * normalized Levenshtein similarity (robust to single-char typos
+        in short strings, where one edit kills 3 of ~8 grams).
+    Casing is already normalized by the gram builder; levenshtein runs
+    on lower()."""
+    ga = F.array_distinct("grams_a")
+    gb = F.array_distinct("grams_b")
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    denom = F.sqrt(F.size(ga).cast("double") * F.size(gb).cast("double"))
+    set_cos = inter / denom
+    la, lb = F.lower("a"), F.lower("b")
+    lev_sim = F.lit(1.0) - F.levenshtein(la, lb).cast("double") / F.greatest(
+        F.length(la), F.length(lb)
+    ).cast("double")
+    return pairs.withColumn("score", F.greatest(set_cos, lev_sim))
+
+
+def score_tfidf_cosine(pairs: DataFrame, idf: dict[str, float]) -> DataFrame:
+    """TF-IDF-weighted cosine in an Arrow-batched pandas UDF. `idf` is
+    a driver-computed {gram: idf_weight} dict (broadcast via closure);
+    on a cluster this is the IDF model's vocabulary — bounded by the
+    gram space, not the corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def vec(grams: list[str]) -> dict[str, float]:
+            tf: dict[str, int] = {}
+            for g in grams:
+                tf[g] = tf.get(g, 0) + 1
+            return {g: c * idf.get(g, 0.0) for g, c in tf.items()}
+
+        def cos(a: list[str], b: list[str]) -> float:
+            va, vb = vec(a), vec(b)
+            dot = sum(w * vb.get(g, 0.0) for g, w in va.items())
+            na = math.sqrt(sum(w * w for w in va.values()))
+            nb = math.sqrt(sum(w * w for w in vb.values()))
+            return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+        for pdf in batches:
+            pdf["score"] = [
+                cos(a, b) for a, b in zip(pdf["grams_a"], pdf["grams_b"])
+            ]
+            yield pdf
+
+    schema = T.StructType(
+        list(pairs.schema.fields) + [T.StructField("score", T.DoubleType(), True)]
+    )
+    return pairs.mapInPandas(run, schema=schema)
+
+
+def compute_idf(surfaces: DataFrame, surface_col: str = "surface") -> dict[str, float]:
+    """Driver-side IDF over distinct surfaces' grams."""
+    base = surfaces.select(F.col(surface_col).alias("surface")).distinct()
+    n = base.count()
+    dfreq = (
+        base.select(F.explode(F.array_distinct(char_ngrams(F.col("surface")))).alias("g"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    return {r["g"]: math.log((n + 1) / (r["count"] + 1)) + 1.0 for r in dfreq}
+
+
+def link_surfaces(
+    surfaces: DataFrame,
+    surface_col: str = "surface",
+    threshold: float = 0.78,
+    scorer: str = "set",
+    jaccard_max_dist: float = 0.8,
+) -> DataFrame:
+    """→ sameAs edges (a, b, score), a < b, score ≥ threshold."""
+    pairs = candidate_pairs(surfaces, surface_col, jaccard_max_dist)
+    if scorer == "tfidf":
+        scored = score_tfidf_cosine(pairs, compute_idf(surfaces, surface_col))
+    else:
+        scored = score_set_cosine(pairs)
+    return scored.filter(F.col("score") >= threshold).select("a", "b", "score")

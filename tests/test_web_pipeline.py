@@ -1,0 +1,154 @@
+"""North-rule pipeline tests: extraction byte-identity, mention-triple
+exactness, linking cluster quality, end-to-end canonical-triple P/R."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.web import corpus as C
+from kgforge.web.canon import canonical_map, connected_components, rewrite_triples
+from kgforge.web.extract import extract_text, extract_text_py
+from kgforge.web.mentions import extract_mention_triples
+from kgforge.web.pipeline import run_pipeline, surfaces_of
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return C.make_corpus(n_pages=300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, corpus):
+    return C.pages_dataframe(spark, corpus).cache()
+
+
+# ------------------------------------------------------------- extraction
+def test_extract_byte_identity_single_node(corpus):
+    """The pinned extractor reproduces ground-truth text byte-for-byte."""
+    for url, ts, html, text, lang in corpus.pages[:50]:
+        assert extract_text_py(html) == text, url
+
+
+def test_extract_byte_identity_spark(spark, pages, corpus):
+    got = {
+        r.url: hashlib.sha256(r.text_extracted.encode()).hexdigest()
+        for r in extract_text(pages).select("url", "text_extracted").collect()
+    }
+    want = {
+        url: hashlib.sha256(text.encode()).hexdigest()
+        for url, _, _, text, _ in corpus.pages
+    }
+    assert got == want
+
+
+# ------------------------------------------------------------- mentions
+def test_mention_triples_exact(spark, pages, corpus):
+    out = extract_mention_triples(pages, text_col="text")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in out.filter(F.col("obj_dt").isNull()).collect()
+    }
+    assert got == corpus.mention_triples
+    # labels carried for every mention IRI
+    lbl = {
+        (r.subj, r.obj)
+        for r in out.filter(F.col("obj_dt") == "").collect()
+    }
+    assert lbl == corpus.labels
+
+
+def test_mention_provenance_deterministic(spark, pages):
+    a = extract_mention_triples(pages).select("subj", "pred", "obj", "prov_url")
+    b = extract_mention_triples(pages).select("subj", "pred", "obj", "prov_url")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# ------------------------------------------------------------- CC
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("f", "e"), ("x", "y")],
+        ["src", "dst"],
+    )
+    cc = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert cc == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("d", "d"), ("e", "d"), ("f", "d"),
+        ("x", "x"), ("y", "x"),
+    }
+
+
+def test_connected_components_chain_and_fixpoint(spark):
+    # pathological chain — needs the O(log n) star rounds
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)], ["src", "dst"]
+    )
+    cc = connected_components(edges)
+    comps = {r.component for r in cc.collect()}
+    assert comps == {"n000"}
+    assert cc.count() == n + 1
+
+
+# ------------------------------------------------------------- end-to-end
+def pairwise_f1(pred_map: dict, true_map: dict) -> tuple[float, float, float]:
+    def pairs(m):
+        clusters: dict[str, list[str]] = {}
+        for k, v in m.items():
+            clusters.setdefault(v, []).append(k)
+        out = set()
+        for mem in clusters.values():
+            mem = sorted(mem)
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    out.add((mem[i], mem[j]))
+        return out
+
+    pp, tp = pairs(pred_map), pairs(true_map)
+    if not pp or not tp:
+        return (0.0, 0.0, 0.0)
+    inter = len(pp & tp)
+    p, r = inter / len(pp), inter / len(tp)
+    return p, r, 2 * p * r / (p + r) if p + r else 0.0
+
+
+def test_pipeline_end_to_end_pr(spark, pages, corpus):
+    out = run_pipeline(pages, text_from_html=True)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in out["canonical_triples"].filter(F.col("obj_dt").isNull()).collect()
+    }
+    want = C.true_canonical_triples(corpus)
+    tp = len(got & want)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.4f} R={recall:.4f} got={len(got)} want={len(want)}"
+    )
+
+
+def test_linking_cluster_quality(spark, pages, corpus):
+    out = run_pipeline(pages, text_from_html=False)
+    pred_map = {r.node: r.canon for r in out["canonical_map"].collect()}
+    true_map = {
+        C.mention_iri(s): canon
+        for s, canon in (
+            (s, C.true_canonical_map(corpus)[C.mention_iri(s)])
+            for s in corpus.surface_entity
+        )
+    }
+    p, r, f1 = pairwise_f1(pred_map, true_map)
+    assert f1 >= 0.95, f"pairwise P={p:.4f} R={r:.4f} F1={f1:.4f}"
+
+
+def test_tfidf_scorer_equivalent_quality(spark, pages, corpus):
+    out = run_pipeline(pages, text_from_html=False, scorer="tfidf", link_threshold=0.5)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in out["canonical_triples"].filter(F.col("obj_dt").isNull()).collect()
+    }
+    want = C.true_canonical_triples(corpus)
+    tp = len(got & want)
+    assert tp / len(got) >= 0.9 and tp / len(want) >= 0.9
