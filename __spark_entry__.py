@@ -147,6 +147,113 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# training-data ops (dedup / similarity / analysis / multimodal)
+# --------------------------------------------------------------------------
+def _docs_with_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact clones (doc_id+1000000) — gives the dedup ops
+    guaranteed positives; the same union is expressed in the oracles."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clone = d.select((F.col("doc_id") + 1000000).alias("doc_id"), F.col("text"))
+    return d.unionByName(clone)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.dedup import dedup_exact
+
+    return dedup_exact(_docs_with_clones(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs_with_clones(spark, sf_dir), num_hashes=8, bands=4
+    ).select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs_with_clones(spark, sf_dir), shingle_k=3, threshold=0.8
+    )
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (pandas-UDF signature — rows-only check)."""
+    from kgforge.textops.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs_with_clones(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return brute_force_topk(emb, qvec, k=20).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "score"
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN (rows-only; recall vs brute force
+    is gated in tests/test_textops.py)."""
+    from kgforge.textops.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return lsh_topk(emb, qvec, k=20)
+
+
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings ∪ clones
+    (bucketed blocking — rows-only check)."""
+    from kgforge.textops.similarity import embedding_near_dups
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return embedding_near_dups(emb.unionByName(clone), threshold=0.999)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.analysis import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.analysis import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.analysis import token_count
+
+    return token_count(load(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.analysis import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.textops.multimodal import attach_binary_payload, payload_metadata
+
+    docs = load(spark, sf_dir, "documents")
+    meta = payload_metadata(attach_binary_payload(docs))
+    return meta.select("id", "n_bytes", "magic_hex")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_melt_part": q_kg_melt_part,
@@ -157,6 +264,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_token_explode": q_kg_token_explode,
         "kg_pred_count": q_kg_pred_count,
         "pricing_summary": q_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "emb_near_dups": q_emb_near_dups,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -188,9 +307,187 @@ def _melt_union(col: str) -> str:
 """
 
 
+# shared SQL fragments (mirror kgforge.textops.dedup word_shingles)
+_DOCS_CLONES = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+"""
+
+
+def _shingle_cte(k: int, source: str = "docs") -> str:
+    return f"""
+toks AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS t
+  FROM {source}
+),
+sh AS (
+  SELECT id,
+         CASE WHEN len(t) >= {k}
+              THEN list_distinct(list_transform(
+                     range(1, len(t) - {k} + 2),
+                     i -> array_to_string(t[i:i+{k - 1}], ' ')))
+              ELSE [array_to_string(t, ' ')]
+         END AS shingles
+  FROM toks
+)
+"""
+
+
+_MINHASH_SQL = (
+    "WITH "
+    + _DOCS_CLONES
+    + ","
+    + _shingle_cte(5)
+    + ""","""
+    + """
+sig AS (
+  SELECT id, ["""
+    + ",".join(
+        f"list_min(list_transform(shingles, s -> md5('seed{i}:' || s)))"
+        for i in range(8)
+    )
+    + """] AS sig FROM sh
+),
+banded AS (
+"""
+    + " UNION ALL ".join(
+        f"SELECT id, {b} AS band, sig[{2 * b + 1}] || '|' || sig[{2 * b + 2}] AS key FROM sig"
+        for b in range(4)
+    )
+    + """
+)
+SELECT DISTINCT CAST(l.id AS BIGINT) AS a, CAST(r.id AS BIGINT) AS b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.key = r.key AND l.id < r.id
+"""
+)
+
+_JACCARD_SQL = (
+    "WITH "
+    + _DOCS_CLONES
+    + ","
+    + _shingle_cte(3)
+    + """,
+ex AS (SELECT id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT id, COUNT(*) AS n FROM ex GROUP BY id),
+rare AS (
+  SELECT ex.id, ex.s FROM ex
+  JOIN (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 1000) r USING (s)
+),
+inter AS (
+  SELECT l.id AS a, r.id AS b, COUNT(*) AS inter
+  FROM rare l JOIN rare r ON l.s = r.s AND l.id < r.id
+  GROUP BY l.id, r.id
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.id JOIN sizes sb ON inter.b = sb.id
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+"""
+)
+
+_EN = "'the','and','of','to','is','in','that','for'"
+_ES = "'el','la','de','que','los','una','por','con'"
+_DE = "'der','die','und','das','ist','nicht','ein','mit'"
+_FR = "'le','la','les','des','est','une','dans','pour'"
+_STOP = _EN + ",'a','an','it','on','as','at','by'"
+
+_LANG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT id,
+         SUM(CASE WHEN lower(tok) IN ({_DE}) THEN 1 ELSE 0 END) AS de,
+         SUM(CASE WHEN lower(tok) IN ({_EN}) THEN 1 ELSE 0 END) AS en,
+         SUM(CASE WHEN lower(tok) IN ({_ES}) THEN 1 ELSE 0 END) AS es,
+         SUM(CASE WHEN lower(tok) IN ({_FR}) THEN 1 ELSE 0 END) AS fr
+  FROM toks GROUP BY id
+)
+SELECT id,
+  CASE WHEN GREATEST(de, en, es, fr) = 0 THEN 'und'
+       WHEN de = GREATEST(de, en, es, fr) THEN 'de'
+       WHEN en = GREATEST(de, en, es, fr) THEN 'en'
+       WHEN es = GREATEST(de, en, es, fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM counts
+"""
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS id, text,
+         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+m AS (
+  SELECT id, text, len(t) AS n, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         len(list_filter(list_transform(t, x -> lower(x)),
+                         x -> x IN ({_STOP}))) AS stop_hits
+  FROM base
+)
+SELECT id,
+  CAST(n AS BIGINT) AS n_tokens,
+  ROUND(CASE WHEN n > 0 THEN (n_chars - (n - 1)) / CAST(n AS DOUBLE) ELSE 0.0 END, 4)
+    AS mean_token_len,
+  ROUND(CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END, 4)
+    AS stopword_ratio,
+  ROUND(CASE WHEN n_chars > 0 THEN alpha_chars / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 4)
+    AS alpha_ratio,
+  ROUND(LEAST(n / 20.0, 1.0) * 0.4
+        + LEAST(CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END * 4.0, 1.0) * 0.3
+        + CASE WHEN n_chars > 0 THEN alpha_chars / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 0.3, 4)
+    AS quality
+FROM m
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     melt = _MELT_PART_SQL.format(unions="".join(_melt_union(c) for c in PART_COLS))
     return {
+        "dedup_exact": "WITH " + _DOCS_CLONES + """
+            SELECT md5(text) AS text_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count
+            FROM docs GROUP BY md5(text)
+        """,
+        "dedup_minhash": _MINHASH_SQL,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "ann_topk_brute": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+                     AS score
+            FROM embeddings, q
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "lang_id": _LANG_SQL,
+        "quality_score": _QUALITY_SQL,
+        "token_count": """
+            SELECT doc_id AS id,
+                   CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_subtokens_est
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id AS id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
+            FROM documents
+        """,
         "kg_melt_part": melt,
         "kg_sanitize_iri": f"""
             SELECT CAST(p_partkey AS BIGINT) AS p_partkey,

@@ -1,0 +1,268 @@
+"""Document deduplication operators (exact + near-dup families).
+
+All operators are expressed over a `(id, text)` DataFrame and return
+DataFrames; everything except SimHash is pure JVM column expressions,
+and the hash primitive is md5 (identical across Spark/DuckDB, which
+keeps every operator oracle-checkable — a deliberate choice over
+xxhash64, which DuckDB lacks).
+
+Scale notes:
+* exact dedup: one shuffle on the content hash; the map-side partial
+  aggregate collapses most duplicates before the exchange.
+* minhash-lsh: signatures are per-document aggregates over shingles
+  (narrow), candidate generation is a self-join on (band, band_key)
+  — only documents sharing a band bucket ever meet, which is the
+  whole point at 10^12 docs.
+* ngram-jaccard: exact verification join for candidate pairs; the
+  shingle-share join prunes by rarity first (a shingle shared by >maxdf
+  docs is dropped as a join key — stopword-shingle explosion guard).
+* simhash: vectorized pandas UDF producing a 64-bit signature;
+  near-dup = hamming distance ≤ k via banded equality join on 16-bit
+  chunks (JVM side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """k-word shingles as strings (JVM): tokens joined with ' '."""
+    toks = F.split(F.trim(text), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (text_hash, keep_id, dup_count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, shingle_k: int = 5) -> Column:
+    """MinHash signature as array<string>: element i is
+    min(md5(i || shingle)) over the document's shingles. md5-seeded so
+    the same signature is computable in any engine."""
+    sh = F.array_distinct(word_shingles(text, shingle_k))
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"seed{i}:"), s))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signatures via explode + hash-aggregate.
+
+    This is the scale formulation: shingles are computed ONCE per
+    document (the per-row array expression variant gets re-inlined by
+    projection collapse — the shingle build ends up evaluated
+    num_hashes× per row, and once more per join side; observed 20×
+    slower at sf0.1). The groupBy(id) min() has a map-side partial
+    aggregate, so the shuffle carries one row per document."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
+    )
+    return sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (a, b) with a < b sharing ≥1 LSH band.
+    rows_per_band = num_hashes // bands."""
+    rows = num_hashes // bands
+    sig = minhash_signatures_agg(df, id_col, text_col, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (a, b, jaccard ≥ threshold).
+    Candidate pairs via shared-shingle join, with shingles occurring in
+    more than `max_df` docs dropped as join keys (skew guard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    rare = sh.join(
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= max_df),
+        "s",
+    ).select("id", "s")
+    inter = (
+        rare.alias("l")
+        .join(rare.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- SimHash
+_SIMHASH_BITS = 64
+
+
+def _simhash_py(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (md5-based bit source)."""
+    import hashlib
+
+    acc = [0] * _SIMHASH_BITS
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8", "replace")).digest()[:8], "big")
+        for bit in range(_SIMHASH_BITS):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(_SIMHASH_BITS):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    # map to signed 64-bit for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash:long) via an Arrow-batched pandas UDF."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    cols = [id_col, text_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "simhash": pdf[text_col].map(_simhash_py).astype("int64"),
+                }
+            )
+
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    Candidates via banded equality (4×16-bit chunks: any pair within
+    hamming 3 shares ≥1 identical chunk — pigeonhole), verified with
+    bit_count(xor) on the JVM."""
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.chunk", "b.ck")
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are `binary` columns with a metadata struct;
+the Spark-side plumbing (schema, partition sizing, Arrow batch shape,
+UDF signatures) is real and tested. The actual media decoding is
+STUBBED — the codec libraries are not in this container — behind
+`decode_stub`:
+  * mode="raise": NotImplementedError (the honest production posture
+    until a codec UDF is registered), or
+  * mode="fake":  a deterministic fake decode (dimensions derived from
+    the payload hash) so downstream plumbing can be exercised.
+
+Design notes for 100 TB of media:
+* payloads never enter a shuffle — metadata is extracted in the scan
+  stage and the binary column is pruned immediately after;
+* batch shape matters: Arrow batches of large binaries must be bounded
+  by bytes, not rows (`maxRecordsPerBatch` + input file splits);
+* feature extraction (resize/frame-sample) is mapInPandas over the
+  binary column, one batch in, one metadata/feature batch out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_md5", T.StringType(), False),
+        T.StructField("magic_hex", T.StringType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test helper: fabricate a binary payload column from text (the
+    driver tables carry no real media; shape is what matters)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def payload_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Binary metadata extraction — pure JVM, no decode: byte length,
+    content hash, leading magic bytes."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(p).cast("bigint").alias("n_bytes"),
+        F.md5(p).alias("content_md5"),
+        F.upper(F.hex(F.substring(p, 1, 4))).alias("magic_hex"),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def decode_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    mode: str = "raise",
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Decode / feature-extract stage (STUB — see module docstring).
+
+    mode="fake" produces deterministic pseudo-metadata + a unit-norm
+    feature vector derived from the payload md5, so partitioning, batch
+    shape, and downstream joins are exercised end to end.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "raise":
+                raise NotImplementedError(
+                    "media decode requires a codec library not present in "
+                    "this container; register a real decode UDF or use "
+                    "mode='fake' for plumbing tests"
+                )
+            ids, ws, hs, fr, feats = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                ids.append(int(i))
+                ws.append(64 + digest[0])
+                hs.append(64 + digest[1])
+                fr.append(1 + digest[2] % 16)
+                raw = [b / 255.0 for b in digest[: feature_dim]]
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                feats.append([float(x / norm) for x in raw])
+            yield pd.DataFrame(
+                {"id": ids, "width": ws, "height": hs, "n_frames": fr, "feature": feats}
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(payload_col)).mapInPandas(
+        run, schema=_DECODE_SCHEMA
+    )

@@ -1,0 +1,154 @@
+"""Training-data ops: dedup families, similarity search, text analysis,
+multimodal plumbing — correctness on planted fixtures."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.textops.analysis import fingerprint, lang_id, quality_score, token_count
+from kgforge.textops.dedup import (
+    _simhash_py,
+    dedup_exact,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from kgforge.textops.multimodal import (
+    attach_binary_payload,
+    decode_stub,
+    payload_metadata,
+)
+from kgforge.textops.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split()
+
+
+def _docs(spark, n=40, seed=42, plant_near_dups=True):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        text = " ".join(rng.choice(WORDS) for _ in range(rng.randint(20, 40)))
+        rows.append((i, text))
+    # exact dups
+    rows.append((1000, rows[0][1]))
+    rows.append((1001, rows[0][1]))
+    if plant_near_dups:
+        # near dup: change one word near the end
+        base = rows[1][1].split()
+        base[-1] = "omega"
+        rows.append((2000, " ".join(base)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark):
+    df = _docs(spark)
+    out = dedup_exact(df)
+    row = out.filter(F.col("dup_count") == 3).collect()
+    assert len(row) == 1 and row[0].keep_id == 0
+    assert out.agg(F.sum("dup_count")).first()[0] == df.count()
+
+
+def test_minhash_candidates_find_planted(spark):
+    df = _docs(spark)
+    pairs = {(r.a, r.b) for r in minhash_lsh_candidates(df).collect()}
+    assert (0, 1000) in pairs and (0, 1001) in pairs and (1000, 1001) in pairs
+    assert (1, 2000) in pairs  # near dup shares most shingles
+
+
+def test_ngram_jaccard(spark):
+    df = _docs(spark)
+    out = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert out[(0, 1000)] == 1.0 and out[(1000, 1001)] == 1.0
+    assert 0.5 <= out[(1, 2000)] < 1.0
+    # no false positives between unrelated random docs at 0.5
+    assert all(a in (0, 1, 1000, 1001) or b in (1000, 1001, 2000) for (a, b) in out)
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark)
+    out = {(r.a, r.b): r.hamming for r in simhash_near_dups(df, max_hamming=8).collect()}
+    assert out[(0, 1000)] == 0 and out[(1000, 1001)] == 0
+    assert (1, 2000) in out
+    # single-node model agrees with the distributed stage
+    h = _simhash_py("alpha beta gamma")
+    assert _simhash_py("alpha beta gamma") == h  # deterministic
+
+
+def _embeddings(spark, n=200, dim=16, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    # planted near-duplicate of vector 3
+    v = rows[3][1]
+    rows.append((9000, [x + rng.gauss(0, 0.001) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_and_lsh_recall(spark):
+    df = _embeddings(spark)
+    q = df.filter(F.col("vec_id") == 3).first().embedding
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    assert exact[0] in (3, 9000) and set(exact[:2]) == {3, 9000}
+    approx = [r.vec_id for r in lsh_topk(df, q, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"recall@10={recall}"
+
+
+def test_embedding_near_dups(spark):
+    df = _embeddings(spark)
+    out = {(r.a, r.b): r.score for r in embedding_near_dups(df, threshold=0.99).collect()}
+    assert (3, 9000) in out and out[(3, 9000)] > 0.999
+    assert len(out) == 1  # random gaussians are not near-dups
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house for now"),
+            (2, "el perro de la casa que los gatos una vez"),
+            (3, "der hund und die katze ist nicht ein tier mit"),
+            (4, "zzz qqq www"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.lang_guess for r in lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de"
+    assert got[4] == "und"
+    q = {r.id: r for r in quality_score(df).collect()}
+    assert q[1].quality > q[4].quality
+    assert 0.0 <= q[5].quality <= 1.0
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, "A B C"), (3, "a b c")], "doc_id long, text string"
+    )
+    tc = {r.id: r.n_tokens for r in token_count(df).collect()}
+    assert tc == {1: 3, 2: 3, 3: 3}
+    fp = {r.id: r.fp for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2] == fp[3]  # whitespace+case normalized
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "binary payload test")], "doc_id long, text string"
+    )
+    payloads = attach_binary_payload(docs)
+    meta = {r.id: r for r in payload_metadata(payloads).collect()}
+    assert meta[1].n_bytes == len(b"hello world")
+    assert meta[1].magic_hex == "68656C6C".upper()  # 'hell'
+    fake = {r.id: r for r in decode_stub(payloads, mode="fake").collect()}
+    assert fake[1].width >= 64 and len(fake[1].feature) == 8
+    norm = sum(x * x for x in fake[1].feature) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_stub(payloads, mode="raise").collect()
