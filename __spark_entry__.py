@@ -254,6 +254,102 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("id", "n_bytes", "magic_hex")
 
 
+def q_kg_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11/T10: typed XSD literals (raw lexical form + datatype tag)."""
+    df = load(spark, sf_dir, "lineitem")
+    subj = F.concat(
+        F.lit(DOMAIN + "LI_"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("_"),
+        F.col("l_linenumber").cast("string"),
+    )
+    xsd_float = "http://www.w3.org/2001/XMLSchema#float"
+    xsd_date = "http://www.w3.org/2001/XMLSchema#date"
+    t1 = F.struct(
+        subj.alias("subj"),
+        F.lit(DOMAIN + "quantity").alias("pred"),
+        F.col("l_quantity").cast("string").alias("obj"),
+        F.lit(xsd_float).alias("obj_dt"),
+    )
+    t2 = F.struct(
+        subj.alias("subj"),
+        F.lit(DOMAIN + "ship_date").alias("pred"),
+        F.col("l_shipdate").cast("string").alias("obj"),
+        F.lit(xsd_date).alias("obj_dt"),
+    )
+    return (
+        df.select(F.explode(F.array(t1, t2)).alias("t"))
+        .select("t.subj", "t.pred", "t.obj", "t.obj_dt")
+        .dropDuplicates(["subj", "pred", "obj", "obj_dt"])
+    )
+
+
+def q_kg_type_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: driver-computed static schema triples (v3-style class/
+    property chains) from a compiled spec — constant-folded, no scan."""
+    from kgforge.mapping.compile_ini import _chain_v2, _chain_v34
+
+    templates = (
+        _chain_v34(DOMAIN, ["pnr", "part_ref", "asset"], is_class=True)
+        + _chain_v34(DOMAIN, ["supplied_by", "related_to"], is_class=False)
+        + _chain_v2(DOMAIN, ["nation", "place", "RDFS:RESOURCE"])
+    )
+    rows = [(s.value, p.value, o.value) for s, p, o in templates]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string").dropDuplicates()
+
+
+def q_kg_ontology_reqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: ontology-requirements side output, derivable from the spec
+    alone (v5 to-define-in-ontology)."""
+    from kgforge.mapping.compile_ini import compile_v5, ontology_requirements
+
+    grammar = """
+[PNR]
+cellrole = pkey
+celltype = pnr
+
+[SRV]
+cellrole = object
+celltype = nation
+columntype = serviced_to
+
+[ADT]
+cellrole = object
+celltype = string
+columntype = part_description
+"""
+    spec = compile_v5(DOMAIN, grammar, ["PNR", "SRV", "ADT"])
+    rows = [(s,) for s in ontology_requirements(spec)]
+    return spark.createDataFrame(rows, "requirement string")
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup over the events stream table."""
+    df = load(spark, sf_dir, "events")
+    return (
+        df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_web_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship north-rule pipeline on the synthetic web corpus
+    (extract → mentions → link → CC → canonical triples; rows-only —
+    P/R gates live in tests/test_web_pipeline.py)."""
+    from kgforge.web.corpus import make_corpus, pages_dataframe
+    from kgforge.web.pipeline import run_pipeline
+
+    corpus = make_corpus(n_pages=300, seed=42)
+    out = run_pipeline(pages_dataframe(spark, corpus), text_from_html=True)
+    return out["canonical_triples"].select("subj", "pred", "obj", "obj_dt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_melt_part": q_kg_melt_part,
@@ -276,6 +372,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "kg_typed_literals": q_kg_typed_literals,
+        "kg_type_chain": q_kg_type_chain,
+        "kg_ontology_reqs": q_kg_ontology_reqs,
+        "events_hourly": q_events_hourly,
+        "web_kg_pipeline": q_web_kg_pipeline,
     }
 
 
@@ -487,6 +588,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    upper(hex(encode(substr(text, 1, 4)))) AS magic_hex
             FROM documents
+        """,
+        "kg_typed_literals": f"""
+            WITH t AS (
+              SELECT '{_D}LI_' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS subj,
+                     '{_D}quantity' AS pred, CAST(l_quantity AS VARCHAR) AS obj,
+                     'http://www.w3.org/2001/XMLSchema#float' AS obj_dt
+              FROM lineitem
+              UNION ALL
+              SELECT '{_D}LI_' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS subj,
+                     '{_D}ship_date' AS pred, CAST(l_shipdate AS VARCHAR) AS obj,
+                     'http://www.w3.org/2001/XMLSchema#date' AS obj_dt
+              FROM lineitem
+            )
+            SELECT DISTINCT subj, pred, obj, obj_dt FROM t
+        """,
+        "kg_type_chain": f"""
+            SELECT DISTINCT * FROM (VALUES
+              ('{_D}pnr', '{_RDF_TYPE}', 'http://www.w3.org/2000/01/rdf-schema#Class'),
+              ('{_D}part_ref', '{_RDF_TYPE}', 'http://www.w3.org/2000/01/rdf-schema#Class'),
+              ('{_D}asset', '{_RDF_TYPE}', 'http://www.w3.org/2000/01/rdf-schema#Class'),
+              ('{_D}pnr', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', '{_D}part_ref'),
+              ('{_D}part_ref', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', '{_D}asset'),
+              ('{_D}supplied_by', '{_RDF_TYPE}', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Property'),
+              ('{_D}related_to', '{_RDF_TYPE}', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#Property'),
+              ('{_D}supplied_by', 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', '{_D}related_to'),
+              ('{_D}nation', '{_RDF_TYPE}', '{_D}place'),
+              ('{_D}place', '{_RDF_TYPE}', 'http://www.w3.org/2000/01/rdf-schema#Resource')
+            ) AS t(subj, pred, obj)
+        """,
+        "kg_ontology_reqs": f"""
+            SELECT * FROM (VALUES
+              ('Cell type: <{_D}pnr>'),
+              ('Cell type: <{_D}nation>'),
+              ('Column type: <{_D}serviced_to>'),
+              ('Column type: <{_D}part_description>')
+            ) AS t(requirement)
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "kg_melt_part": melt,
         "kg_sanitize_iri": f"""

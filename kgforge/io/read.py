@@ -11,7 +11,6 @@ order-dependent scheme. At web scale identity must be content-derived
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 

@@ -317,13 +317,7 @@ def assert_no_map_miss(df: DataFrame, spec: MappingSpec) -> None:
     interactive interrupt. Raises LookupError with per-rule counts."""
     checks = []
     for rule in spec.rules:
-        m = miss_expr(
-            F.coalesce(F.col(rule.column), F.lit(""))
-            if rule.column is not None
-            else F.lit(""),
-            rule.transform,
-        )
-        if m is None or rule.column is None:
+        if rule.column is None or rule.transform.kind not in ("map_all", "map_part"):
             continue
         cell = F.coalesce(F.col(rule.column), F.lit(""))
         if rule.pre_sanitize is not None:

@@ -64,13 +64,26 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+
+    def _sig(df: DataFrame) -> tuple:
+        # order-independent edge-set signature: (count, xor of row
+        # hashes) — one scalar agg instead of two exceptAll joins per
+        # iteration (the convergence check was costing more than the
+        # star steps themselves)
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("x"),
+        ).collect()[0]
+        return (row.n, row.x)
+
+    sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the edge multiset is stable
-        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
-            e = e2
-            break
+        sig2 = _sig(e2)
         e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
     # after convergence every node points at its component min
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))

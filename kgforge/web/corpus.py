@@ -34,23 +34,37 @@ RELATIONS = {
 
 _SYL = ["ba", "den", "fir", "gol", "han", "kel", "lor", "mun",
         "nor", "pra", "quin", "ras", "sol", "tam", "vex", "wil",
-        "yor", "zan", "bel", "cor"]
+        "yor", "zan", "bel", "cor", "dag", "esh", "fon", "gim",
+        "hul", "ist", "jor", "kaz", "lub", "mer", "nim", "osk",
+        "pel", "rud", "sev", "tir", "urn", "vol", "wex", "yub"]
 
 
 def _word_pool(rng: random.Random, n: int) -> list[str]:
     """Globally unique words: distinct entities share no whole word, so
     surface similarity separates clusters (a surface-only linker has no
     context signal; cross-entity word reuse is out of scope here)."""
+    if n > 40000:
+        raise ValueError(
+            f"word pool of {n} exceeds the 3-syllable combo space; "
+            "cap the entity universe instead"
+        )
     pool: list[str] = []
     seen: set[str] = set()
+    # no word may be a substring of another ("Yorpra"/"Rasyorpra" are
+    # indistinguishable to a surface-only linker). The O(n²) pairwise
+    # check is exact for small pools; for large pools it is skipped —
+    # with uniform 3-syllable words cross-boundary containment is rare
+    # enough (<~1e-4 of pairs) that it cannot move the P/R gate.
+    check_substrings = n <= 1500
     while len(pool) < n:
-        w = "".join(rng.choice(_SYL) for _ in range(rng.randint(2, 3))).capitalize()
+        # fixed 3-syllable words: with mixed 2/3-syllable words the
+        # substring-free constraint exhausts the space (every 3-syl
+        # word starts with some 2-syl word) and generation livelocks
+        w = "".join(rng.choice(_SYL) for _ in range(3)).capitalize()
         lw = w.lower()
         if lw in seen:
             continue
-        # no word may be a substring of another ("Yorpra"/"Rasyorpra"
-        # are indistinguishable to a surface-only linker)
-        if any(lw in p or p in lw for p in seen):
+        if check_substrings and any(lw in p or p in lw for p in seen):
             continue
         seen.add(lw)
         pool.append(w)
@@ -105,11 +119,18 @@ def mention_iri(surface: str) -> str:
     return DOMAIN + "m_" + sanitize_py(surface, "v5")
 
 
+def _zipf_cum(n: int, a: float = 1.3) -> list[float]:
+    """Cumulative Zipf weights (precomputed once; rank r ∝ 1/r^a)."""
+    total, out = 0.0, []
+    for r in range(n):
+        total += 1.0 / ((r + 1) ** a)
+        out.append(total)
+    return out
+
+
 def _zipf_pick(rng: random.Random, items: list, a: float = 1.3):
     """Zipf-ish pick: rank r with weight 1/r^a (head-entity skew)."""
-    n = len(items)
-    weights = [1.0 / ((r + 1) ** a) for r in range(n)]
-    return rng.choices(items, weights=weights, k=1)[0]
+    return rng.choices(items, cum_weights=_zipf_cum(len(items), a), k=1)[0]
 
 
 _HTML_HEAD = (
@@ -145,8 +166,18 @@ def make_corpus(
     seed: int = 42,
     facts_per_page: tuple[int, int] = (2, 6),
 ) -> Corpus:
+    """Entity universe scales with corpus size (floors keep small test
+    corpora byte-stable): a fixed fact base would make every
+    downstream stage collapse to constant-size output under dedup,
+    which misrepresents scaling — in a real crawl the entity/fact
+    population grows with the page count."""
     rng = random.Random(seed * 7919 + 13)
-    ents = make_entities(seed)
+    ents = make_entities(
+        seed,
+        n_person=min(max(80, n_pages // 50), 10000),
+        n_org=min(max(60, n_pages // 80), 6000),
+        n_place=min(max(30, n_pages // 250), 2500),
+    )
     persons = [e for e in ents if e.kind == "person"]
     orgs = [e for e in ents if e.kind == "org"]
     places = [e for e in ents if e.kind == "place"]
@@ -176,11 +207,11 @@ def make_corpus(
     surface_entity: dict[str, str] = {}
     labels: set = set()
 
+    fact_cum = _zipf_cum(len(facts), a=1.1)  # hoisted: O(1) page loop
     for i in range(n_pages):
         k = rng.randint(*facts_per_page)
         lines: list[str] = []
-        for _ in range(k):
-            s_ent, rel, o_ent = _zipf_pick(rng, facts, a=1.1)
+        for s_ent, rel, o_ent in rng.choices(facts, cum_weights=fact_cum, k=k):
             s_surf = rng.choice(s_ent.variants)
             o_surf = rng.choice(o_ent.variants)
             lines.append(f"{s_surf} {RELATIONS[rel]} {o_surf}.")
@@ -227,6 +258,84 @@ def true_canonical_triples(corpus: Corpus) -> set:
     return {
         (cmap[s], p, cmap[o]) for (s, p, o) in corpus.mention_triples
     }
+
+
+def corpus_to_parquet(
+    path: str, n_pages: int, seed: int = 42, rows_per_file: int = 4000
+) -> None:
+    """Write the web_pages table as a MULTI-FILE parquet dataset via
+    pyarrow, STREAMING chunk by chunk (a multi-million-page corpus
+    doesn't fit as one Python list; used by the scaling benchmark so
+    corpus generation stays outside the timed window; ground-truth
+    tracking is skipped — benchmarks need bytes, not oracles).
+
+    One file per `rows_per_file` pages: a single small parquet file is
+    ONE Spark input split regardless of core count — the 4N run would
+    serialize on the scan. Many files ≡ the many objects a real
+    100 TB Iceberg table has."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed * 7919 + 13)
+    ents = make_entities(
+        seed,
+        n_person=min(max(80, n_pages // 50), 10000),
+        n_org=min(max(60, n_pages // 80), 6000),
+        n_place=min(max(30, n_pages // 250), 2500),
+    )
+    persons = [e for e in ents if e.kind == "person"]
+    orgs = [e for e in ents if e.kind == "org"]
+    places = [e for e in ents if e.kind == "place"]
+    facts: list[tuple[Entity, str, Entity]] = []
+    for p in persons:
+        facts.append((p, "works_for", _zipf_pick(rng, orgs)))
+        if rng.random() < 0.25:
+            facts.append((p, "founded", _zipf_pick(rng, orgs)))
+    for o in orgs:
+        facts.append((o, "located_in", _zipf_pick(rng, places)))
+        if rng.random() < 0.3:
+            facts.append((o, "partner_of", _zipf_pick(rng, orgs)))
+    fact_cum = _zipf_cum(len(facts), a=1.1)
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    os.makedirs(path, exist_ok=True)
+    for start in range(0, n_pages, rows_per_file):
+        urls, tss, htmls, texts, langs = [], [], [], [], []
+        for i in range(start, min(start + rows_per_file, n_pages)):
+            k = rng.randint(2, 6)
+            lines = []
+            for s_ent, rel, o_ent in rng.choices(facts, cum_weights=fact_cum, k=k):
+                s_surf = rng.choice(s_ent.variants)
+                o_surf = rng.choice(o_ent.variants)
+                lines.append(f"{s_surf} {RELATIONS[rel]} {o_surf}.")
+            if rng.random() < 0.5:
+                lines.append(rng.choice(_FILLERS))
+            text = "\n".join(lines)
+            title = f"Report {i}"
+            html = (
+                _HTML_HEAD.format(title=title, page=i)
+                + "".join(f"<p>{_esc(ln)}</p>" for ln in lines)
+                + _HTML_FOOT
+            )
+            urls.append(f"https://ex{seed}.org/page/{i}")
+            tss.append(t0 + timedelta(seconds=i))
+            htmls.append(html.encode("utf-8"))
+            texts.append(text)
+            langs.append(
+                rng.choices(["en", "es", "de", "fr", "zh"], weights=[70, 10, 8, 7, 5])[0]
+            )
+        table = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(path, f"part-{start:09d}.parquet"))
 
 
 def pages_dataframe(spark, corpus: Corpus):

@@ -49,44 +49,48 @@ def extract_mention_triples(
         F.explode(F.split(F.col(text_col), "\n")).alias("line"),
     )
 
-    triple_structs = []
+    def _mk(s, p, o, dt):
+        return F.struct(
+            s.alias("subj"), p.alias("pred"), o.alias("obj"), dt.alias("obj_dt")
+        )
+
+    # one branch per relation: a cheap substring prefilter (no regex)
+    # gates the anchored regexp, so each line pays ~R contains-checks
+    # plus at most one regex parse — vs R regex parses per line when
+    # every relation's extract runs unconditionally (~3× less regex
+    # work, the hot cost at 10^12 lines). Branches are narrow unions:
+    # no extra shuffle.
+    branches = []
     for rel, phrase in RELATIONS.items():
         pat = relation_pattern(phrase)
+        matched = lines.filter(F.col("line").contains(f" {phrase} "))
         s_surf = F.regexp_extract(F.col("line"), pat, 1)
         o_surf = F.regexp_extract(F.col("line"), pat, 2)
-        fired = (s_surf != "") & (o_surf != "")
-        null_struct = F.lit(None).cast(
-            "struct<subj:string,pred:string,obj:string,obj_dt:string>"
-        )
-        s_iri, o_iri = _mention_iri_expr(s_surf), _mention_iri_expr(o_surf)
-
-        def _mk(s, p, o, dt):
-            return F.struct(
-                s.alias("subj"), p.alias("pred"), o.alias("obj"), dt.alias("obj_dt")
-            )
-
+        parsed = matched.select(
+            "prov_url",
+            "warc_ts",
+            s_surf.alias("s_surf"),
+            o_surf.alias("o_surf"),
+        ).filter((F.col("s_surf") != "") & (F.col("o_surf") != ""))
+        s_iri = _mention_iri_expr(F.col("s_surf"))
+        o_iri = _mention_iri_expr(F.col("o_surf"))
         null_dt = F.lit(None).cast("string")
-        triple_structs.append(
-            F.when(fired, _mk(s_iri, F.lit(DOMAIN + rel), o_iri, null_dt)).otherwise(
-                null_struct
+        structs = [_mk(s_iri, F.lit(DOMAIN + rel), o_iri, null_dt)]
+        if with_labels:
+            structs.append(_mk(s_iri, F.lit(RDFS_LABEL), F.col("s_surf"), F.lit("")))
+            structs.append(_mk(o_iri, F.lit(RDFS_LABEL), F.col("o_surf"), F.lit("")))
+        branches.append(
+            parsed.select(
+                F.explode(F.array(*structs)).alias("t"), "prov_url", "warc_ts"
             )
         )
-        if with_labels:
-            triple_structs.append(
-                F.when(
-                    fired, _mk(s_iri, F.lit(RDFS_LABEL), s_surf, F.lit(""))
-                ).otherwise(null_struct)
-            )
-            triple_structs.append(
-                F.when(
-                    fired, _mk(o_iri, F.lit(RDFS_LABEL), o_surf, F.lit(""))
-                ).otherwise(null_struct)
-            )
 
-    arr = F.array_compact(F.array(*triple_structs))
-    out = lines.select(
-        F.explode(arr).alias("t"), F.col("prov_url"), F.col("warc_ts")
-    ).select("t.subj", "t.pred", "t.obj", "t.obj_dt", "prov_url", "warc_ts")
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.union(b)
+    out = unioned.select(
+        "t.subj", "t.pred", "t.obj", "t.obj_dt", "prov_url", "warc_ts"
+    )
     if dedup:
         out = out.groupBy("subj", "pred", "obj", "obj_dt").agg(
             F.min("prov_url").alias("prov_url"),
