@@ -43,24 +43,23 @@ def _word_pool(rng: random.Random, n: int) -> list[str]:
     """Globally unique words: distinct entities share no whole word, so
     surface similarity separates clusters (a surface-only linker has no
     context signal; cross-entity word reuse is out of scope here)."""
-    if n > 40000:
-        raise ValueError(
-            f"word pool of {n} exceeds the 3-syllable combo space; "
-            "cap the entity universe instead"
-        )
+    if n > 2_000_000:
+        raise ValueError(f"word pool of {n} exceeds the 4-syllable combo space")
     pool: list[str] = []
     seen: set[str] = set()
     # no word may be a substring of another ("Yorpra"/"Rasyorpra" are
     # indistinguishable to a surface-only linker). The O(n²) pairwise
     # check is exact for small pools; for large pools it is skipped —
-    # with uniform 3-syllable words cross-boundary containment is rare
-    # enough (<~1e-4 of pairs) that it cannot move the P/R gate.
+    # with uniform same-syllable-count words cross-boundary containment
+    # is rare enough (<~1e-4 of pairs) that it cannot move the P/R gate.
     check_substrings = n <= 1500
+    # fixed syllable count per pool: with mixed 2/3-syllable words the
+    # substring-free constraint exhausts the space (every 3-syl word
+    # starts with some 2-syl word) and generation livelocks. Large
+    # pools use 4 syllables (combo space 40^4 ≈ 2.6M).
+    n_syl = 3 if n <= 30000 else 4
     while len(pool) < n:
-        # fixed 3-syllable words: with mixed 2/3-syllable words the
-        # substring-free constraint exhausts the space (every 3-syl
-        # word starts with some 2-syl word) and generation livelocks
-        w = "".join(rng.choice(_SYL) for _ in range(3)).capitalize()
+        w = "".join(rng.choice(_SYL) for _ in range(n_syl)).capitalize()
         lw = w.lower()
         if lw in seen:
             continue
@@ -174,24 +173,32 @@ def make_corpus(
     rng = random.Random(seed * 7919 + 13)
     ents = make_entities(
         seed,
-        n_person=min(max(80, n_pages // 50), 10000),
-        n_org=min(max(60, n_pages // 80), 6000),
-        n_place=min(max(30, n_pages // 250), 2500),
+        n_person=min(max(80, n_pages // 50), 250000),
+        n_org=min(max(60, n_pages // 80), 150000),
+        n_place=min(max(30, n_pages // 250), 50000),
     )
     persons = [e for e in ents if e.kind == "person"]
     orgs = [e for e in ents if e.kind == "org"]
     places = [e for e in ents if e.kind == "place"]
 
     # fixed fact base (entity-level truth), Zipf-skewed endpoints
+    # (cum weights hoisted: per-pick recomputation is quadratic in the
+    # entity universe and livelocks generation at large scale)
+    org_cum = _zipf_cum(len(orgs))
+    place_cum = _zipf_cum(len(places))
+
+    def pick(items, cum):
+        return rng.choices(items, cum_weights=cum, k=1)[0]
+
     facts: list[tuple[Entity, str, Entity]] = []
     for p in persons:
-        facts.append((p, "works_for", _zipf_pick(rng, orgs)))
+        facts.append((p, "works_for", pick(orgs, org_cum)))
         if rng.random() < 0.25:
-            facts.append((p, "founded", _zipf_pick(rng, orgs)))
+            facts.append((p, "founded", pick(orgs, org_cum)))
     for o in orgs:
-        facts.append((o, "located_in", _zipf_pick(rng, places)))
+        facts.append((o, "located_in", pick(places, place_cum)))
         if rng.random() < 0.3:
-            facts.append((o, "partner_of", _zipf_pick(rng, orgs)))
+            facts.append((o, "partner_of", pick(orgs, org_cum)))
 
     # ground truth requires every surface form to denote exactly one
     # entity (typo variants could in principle collide across entities)
@@ -281,22 +288,28 @@ def corpus_to_parquet(
     rng = random.Random(seed * 7919 + 13)
     ents = make_entities(
         seed,
-        n_person=min(max(80, n_pages // 50), 10000),
-        n_org=min(max(60, n_pages // 80), 6000),
-        n_place=min(max(30, n_pages // 250), 2500),
+        n_person=min(max(80, n_pages // 50), 250000),
+        n_org=min(max(60, n_pages // 80), 150000),
+        n_place=min(max(30, n_pages // 250), 50000),
     )
     persons = [e for e in ents if e.kind == "person"]
     orgs = [e for e in ents if e.kind == "org"]
     places = [e for e in ents if e.kind == "place"]
+    org_cum = _zipf_cum(len(orgs))
+    place_cum = _zipf_cum(len(places))
+
+    def pick(items, cum):
+        return rng.choices(items, cum_weights=cum, k=1)[0]
+
     facts: list[tuple[Entity, str, Entity]] = []
     for p in persons:
-        facts.append((p, "works_for", _zipf_pick(rng, orgs)))
+        facts.append((p, "works_for", pick(orgs, org_cum)))
         if rng.random() < 0.25:
-            facts.append((p, "founded", _zipf_pick(rng, orgs)))
+            facts.append((p, "founded", pick(orgs, org_cum)))
     for o in orgs:
-        facts.append((o, "located_in", _zipf_pick(rng, places)))
+        facts.append((o, "located_in", pick(places, place_cum)))
         if rng.random() < 0.3:
-            facts.append((o, "partner_of", _zipf_pick(rng, orgs)))
+            facts.append((o, "partner_of", pick(orgs, org_cum)))
     fact_cum = _zipf_cum(len(facts), a=1.1)
     t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
 

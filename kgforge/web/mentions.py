@@ -54,43 +54,43 @@ def extract_mention_triples(
             s.alias("subj"), p.alias("pred"), o.alias("obj"), dt.alias("obj_dt")
         )
 
-    # one branch per relation: a cheap substring prefilter (no regex)
-    # gates the anchored regexp, so each line pays ~R contains-checks
-    # plus at most one regex parse — vs R regex parses per line when
-    # every relation's extract runs unconditionally (~3× less regex
-    # work, the hot cost at 10^12 lines). Branches are narrow unions:
-    # no extra shuffle.
-    branches = []
+    # ONE scan, ONE regex parse per line. The parse result must be
+    # let-bound: naive formulations either re-scan the table per
+    # relation (union-of-branches — measured flat scaling at 4M pages
+    # from the R× scan+explode) or re-evaluate the regex per emitted
+    # triple (WHEN-guarded structs — conditional subexpressions are
+    # excluded from Spark's CSE; measured 2× slower). Binding the
+    # parsed struct as a `transform` lambda variable forces exactly one
+    # evaluation per line, and the triple structs reference the
+    # variable, not the expression.
+    parsed = F.lit(None).cast("struct<pred:string,s_surf:string,o_surf:string>")
     for rel, phrase in RELATIONS.items():
         pat = relation_pattern(phrase)
-        matched = lines.filter(F.col("line").contains(f" {phrase} "))
-        s_surf = F.regexp_extract(F.col("line"), pat, 1)
-        o_surf = F.regexp_extract(F.col("line"), pat, 2)
-        parsed = matched.select(
-            "prov_url",
-            "warc_ts",
-            s_surf.alias("s_surf"),
-            o_surf.alias("o_surf"),
-        ).filter((F.col("s_surf") != "") & (F.col("o_surf") != ""))
-        s_iri = _mention_iri_expr(F.col("s_surf"))
-        o_iri = _mention_iri_expr(F.col("o_surf"))
-        null_dt = F.lit(None).cast("string")
-        structs = [_mk(s_iri, F.lit(DOMAIN + rel), o_iri, null_dt)]
-        if with_labels:
-            structs.append(_mk(s_iri, F.lit(RDFS_LABEL), F.col("s_surf"), F.lit("")))
-            structs.append(_mk(o_iri, F.lit(RDFS_LABEL), F.col("o_surf"), F.lit("")))
-        branches.append(
-            parsed.select(
-                F.explode(F.array(*structs)).alias("t"), "prov_url", "warc_ts"
-            )
+        cond = F.col("line").contains(f" {phrase} ")
+        branch = F.struct(
+            F.lit(DOMAIN + rel).alias("pred"),
+            F.regexp_extract(F.col("line"), pat, 1).alias("s_surf"),
+            F.regexp_extract(F.col("line"), pat, 2).alias("o_surf"),
         )
+        # chain of WHENs with a NULL fallback: lines containing no
+        # relation phrase never run any regex at all
+        parsed = F.when(cond, branch).otherwise(parsed)
 
-    unioned = branches[0]
-    for b in branches[1:]:
-        unioned = unioned.union(b)
-    out = unioned.select(
-        "t.subj", "t.pred", "t.obj", "t.obj_dt", "prov_url", "warc_ts"
-    )
+    def triples_of(p):
+        s_iri = _mention_iri_expr(p["s_surf"])
+        o_iri = _mention_iri_expr(p["o_surf"])
+        ok = (p["s_surf"] != "") & (p["o_surf"] != "")
+        null_dt = F.lit(None).cast("string")
+        structs = [F.when(ok, _mk(s_iri, p["pred"], o_iri, null_dt))]
+        if with_labels:
+            structs.append(F.when(ok, _mk(s_iri, F.lit(RDFS_LABEL), p["s_surf"], F.lit(""))))
+            structs.append(F.when(ok, _mk(o_iri, F.lit(RDFS_LABEL), p["o_surf"], F.lit(""))))
+        return F.array(*structs)
+
+    arr = F.array_compact(F.flatten(F.transform(F.array(parsed), triples_of)))
+    out = lines.select(
+        F.explode(arr).alias("t"), "prov_url", "warc_ts"
+    ).select("t.subj", "t.pred", "t.obj", "t.obj_dt", "prov_url", "warc_ts")
     if dedup:
         out = out.groupBy("subj", "pred", "obj", "obj_dt").agg(
             F.min("prov_url").alias("prov_url"),
