@@ -1,0 +1,78 @@
+"""CLI entry: `python -m kgforge -c conf.ini` (reference front door).
+
+Mirrors the reference's invocation (csv2rdf-v5.py:526-551, getopt
+`-c/--conf`): read the options INI, run every active source, dump one
+Turtle file per source plus the global ontology-requirements file.
+
+Extensions over the reference CLI (documented, all optional):
+  --mode shared        v1 shared-store accumulation (one deduped dump,
+                       csv2rdf.py:275-290) instead of per-source files
+  --format             turtle (default) | ntriples | parquet (the
+                       bucketed triple-table layout, kgforge.io.write)
+  --out DIR            output directory (default: cwd)
+  --master URL         Spark master (default: local[$SPARK_GRAFT_CPUS])
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+ONTO_REQ = "to-define-in-ontology.txt"
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="kgforge", description="Declarative CSV/web → RDF triple engine"
+    )
+    ap.add_argument("-c", "--conf", required=True, help="options .ini file")
+    ap.add_argument("--mode", choices=("per_source", "shared"), default="per_source")
+    ap.add_argument(
+        "--format", choices=("turtle", "ntriples", "parquet"), default="turtle"
+    )
+    ap.add_argument("--out", default=".", help="output directory")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from kgforge.io.fs import collapse_to_file
+    from kgforge.io.write import dump_turtle, to_ntriples_lines, write_triples
+    from kgforge.orchestrate import run_config
+    from kgforge.session import get_spark
+
+    spark = get_spark(app_name="kgforge-cli", master=args.master)
+    os.makedirs(args.out, exist_ok=True)
+    results = run_config(spark, args.conf, mode=args.mode)
+
+    onto = results.pop("__ontology__", None)
+    for name, triples in results.items():
+        base = "shared" if name == "__shared__" else name
+        if args.format == "parquet":
+            write_triples(triples, os.path.join(args.out, base + ".triples"))
+            print(f"wrote {os.path.join(args.out, base + '.triples')}/")
+            continue
+        tmp = os.path.join(args.out, f".{base}._tmp")
+        if args.format == "turtle":
+            dump_turtle(triples, tmp)
+            dest = os.path.join(args.out, base + ".ttl")
+        else:
+            to_ntriples_lines(triples).sort("line").coalesce(1).write.mode(
+                "overwrite"
+            ).text(tmp)
+            dest = os.path.join(args.out, base + ".nt")
+        collapse_to_file(spark, tmp, dest)
+        print(f"wrote {dest}")
+
+    if onto is not None:
+        # reference dump_define (csv2rdf-v5.py:73-87): one global file,
+        # order-preserving distinct requirement strings
+        reqs = [r.requirement for r in onto.collect()]
+        dest = os.path.join(args.out, ONTO_REQ)
+        with open(dest, "w", encoding="utf-8") as f:
+            f.write("\n".join(reqs) + ("\n" if reqs else ""))
+        print(f"wrote {dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

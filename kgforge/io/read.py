@@ -17,12 +17,22 @@ from pyspark.sql import types as T
 def read_csv(
     spark: SparkSession, path: str, delimiter: str = ";", header: bool = True
 ) -> DataFrame:
-    """Permissive, string-typed CSV scan (reference S1)."""
+    """Permissive, string-typed CSV scan (reference S1).
+
+    multiLine + '"' escape match Python csv.reader semantics (quoted
+    cells may hold embedded newlines; doubled quotes un-double) — the
+    reference parses with csv.reader, and Spark's defaults (no
+    multiLine, backslash escape) silently diverge on such cells.
+    multiLine makes a file non-splittable; reference-sized grammar/
+    source CSVs are small, and the web-scale path reads parquet.
+    """
     return (
         spark.read.option("sep", delimiter)
         .option("header", header)
         .option("mode", "PERMISSIVE")
         .option("inferSchema", False)
+        .option("multiLine", True)
+        .option("escape", '"')
         .csv(path)
     )
 

@@ -20,6 +20,11 @@ one row per completed bucket. Resume contract:
     independent and overflow-free, so audits re-verify any bucket
     cheaply.
 
+ALL data-path IO goes through the Hadoop FileSystem API resolved from
+the path's scheme — the bucket census and torn-bucket repair behave
+identically on file://, hdfs:// and s3a:// (driver-local os.listdir
+would silently see an empty directory on any remote store).
+
 On a real cluster the same interface binds to Iceberg (`catalog=
 iceberg`): snapshot commit replaces the ledger append, and repair is a
 snapshot rollback. The bucket filter and lineage schema are identical.
@@ -27,27 +32,48 @@ snapshot rollback. The bucket filter and lineage schema are identical.
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kgforge.io.fs import hadoop_fs as _hadoop_fs
+from kgforge.io.fs import path_exists as _path_exists
+
 TRIPLE_KEY = ["subj", "pred", "obj", "obj_dt"]
+
+_BUCKET_PREFIX = "subj_bucket="
+
+
+def _bucket_dirs_on_disk(spark: SparkSession, path: str) -> dict[int, object]:
+    """{bucket -> hadoop Path} for every subj_bucket=N child dir.
+
+    Non-integer partition dirs (e.g. __HIVE_DEFAULT_PARTITION__ from a
+    historical NULL-subject write) are skipped, not crashed on — repair
+    must never be wedged by one corrupt dir name.
+    """
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return {}
+    out: dict[int, object] = {}
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith(_BUCKET_PREFIX):
+            continue
+        val = name[len(_BUCKET_PREFIX):]
+        if not val.isdigit():
+            continue
+        out[int(val)] = status.getPath()
+    return out
 
 
 def _lineage_path(path: str) -> str:
-    return os.path.join(path, "_lineage")
-
-
-def _bucket_dir(path: str, bucket: int) -> str:
-    return os.path.join(path, f"subj_bucket={bucket}")
+    return path.rstrip("/") + "/_lineage"
 
 
 def read_lineage(spark: SparkSession, path: str) -> DataFrame | None:
     lp = _lineage_path(path)
-    if not os.path.exists(lp):
+    if not _path_exists(spark, lp):
         return None
     return spark.read.parquet(lp)
 
@@ -61,20 +87,17 @@ def completed_buckets(spark: SparkSession, path: str, stage: str) -> set[int]:
     }
 
 
-def _repair_torn_buckets(path: str, done: set[int]) -> list[int]:
+def _repair_torn_buckets(spark: SparkSession, path: str, done: set[int]) -> list[int]:
     """Delete bucket dirs that exist on disk without a lineage row
     (partial output from a crashed run)."""
+    on_disk = _bucket_dirs_on_disk(spark, path)
+    fs, _ = _hadoop_fs(spark, path)
     torn = []
-    if not os.path.exists(path):
-        return torn
-    for name in os.listdir(path):
-        if not name.startswith("subj_bucket="):
-            continue
-        b = int(name.split("=", 1)[1])
-        if b not in done:
-            shutil.rmtree(os.path.join(path, name))
-            torn.append(b)
-    return torn
+    for bucket, jpath in on_disk.items():
+        if bucket not in done:
+            fs.delete(jpath, True)
+            torn.append(bucket)
+    return sorted(torn)
 
 
 def materialize_triples(
@@ -87,10 +110,17 @@ def materialize_triples(
     """Idempotent, resumable bucketed write. Returns run metrics."""
     spark = triples.sparkSession
     done = completed_buckets(spark, path, stage)
-    torn = _repair_torn_buckets(path, done)
+    torn = _repair_torn_buckets(spark, path, done)
 
+    # a NULL subject would land in __HIVE_DEFAULT_PARTITION__ and wedge
+    # every later resume — fail the write instead of corrupting the
+    # layout (in-plan check, no extra pass)
+    subj_checked = F.when(
+        F.col("subj").isNull(),
+        F.raise_error(F.lit("materialize_triples: NULL subj is not writable")),
+    ).otherwise(F.col("subj"))
     df = triples.withColumn(
-        "subj_bucket", F.pmod(F.xxhash64(F.col("subj")), F.lit(n_buckets)).cast("int")
+        "subj_bucket", F.pmod(F.xxhash64(subj_checked), F.lit(n_buckets)).cast("int")
     )
     if done:
         df = df.filter(~F.col("subj_bucket").isin(*sorted(done)))
@@ -107,11 +137,7 @@ def materialize_triples(
         .partitionBy("subj_bucket")
         .parquet(path)
     )
-    on_disk = {
-        int(name.split("=", 1)[1])
-        for name in os.listdir(path)
-        if name.startswith("subj_bucket=")
-    }
+    on_disk = set(_bucket_dirs_on_disk(spark, path))
     todo = sorted(on_disk - done)
     rows_written = 0
     if todo:

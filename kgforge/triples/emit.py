@@ -218,6 +218,26 @@ def rule_triples_array(rule: Rule, df_cols: dict[str, Column]) -> Column:
         if rule.pre_sanitize is not None:
             raw = sanitize_expr(raw, rule.pre_sanitize)
         new = transform_expr(raw, rule.transform)
+        if rule.transform.miss == "error":
+            # strict profiles (v2/v3) halt on a lookup miss
+            # (csv2rdf-v2.py:330-332). Enforce IN-PLAN: a fired rule
+            # whose lookup missed fails the job instead of silently
+            # emitting NULL terms. Guard-false rows never evaluate this
+            # branch, so blank/FORGET cells cannot trip it.
+            m = miss_expr(raw, rule.transform)
+            if m is not None:
+                new = F.when(
+                    guard_expr(rule, raw) & m,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"map lookup miss (strict policy, rule "
+                                f"{rule.rule_id}): "
+                            ),
+                            raw,
+                        )
+                    ),
+                ).otherwise(new)
     pkey = df_cols.get("__pkey__")
     rowindex = df_cols.get("__rowindex__")
 

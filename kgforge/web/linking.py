@@ -79,6 +79,12 @@ def candidate_pairs(
         F.col("datasetB.surface").alias("b"),
         (F.lit(1.0) - F.col("jdist")).alias("jaccard"),
     ).filter(F.col("a") < F.col("b"))
+    # materialize before unpersisting feat: the candidate set is small
+    # (post-blocking), while leaving feat cached would leak a vector
+    # block per call into the session (repeated link_surfaces calls
+    # accumulate)
+    pairs = pairs.localCheckpoint(eager=True)
+    feat.unpersist()
     return pairs.withColumn("grams_a", char_ngrams(F.col("a"))).withColumn(
         "grams_b", char_ngrams(F.col("b"))
     )

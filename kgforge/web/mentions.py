@@ -54,16 +54,21 @@ def extract_mention_triples(
             s.alias("subj"), p.alias("pred"), o.alias("obj"), dt.alias("obj_dt")
         )
 
-    # ONE scan, ONE regex parse per line. The parse result must be
-    # let-bound: naive formulations either re-scan the table per
-    # relation (union-of-branches — measured flat scaling at 4M pages
-    # from the R× scan+explode) or re-evaluate the regex per emitted
-    # triple (WHEN-guarded structs — conditional subexpressions are
-    # excluded from Spark's CSE; measured 2× slower). Binding the
-    # parsed struct as a `transform` lambda variable forces exactly one
-    # evaluation per line, and the triple structs reference the
-    # variable, not the expression.
-    parsed = F.lit(None).cast("struct<pred:string,s_surf:string,o_surf:string>")
+    # ONE scan, ONE regex parse per (line, matching relation). The
+    # parse results must be let-bound: naive formulations either
+    # re-scan the table per relation (union-of-branches — measured flat
+    # scaling at 4M pages from the R× scan+explode) or re-evaluate the
+    # regex per emitted triple (WHEN-guarded structs — conditional
+    # subexpressions are excluded from Spark's CSE; measured 2×
+    # slower). Binding each parsed struct as a `transform` lambda
+    # variable forces exactly one evaluation per match, and the triple
+    # structs reference the variable, not the expression.
+    #
+    # One entry PER matching relation (not a last-wins WHEN chain): a
+    # line containing two relation phrases yields both mentions. The
+    # cheap `contains` pre-check still keeps non-matching lines from
+    # running any regex.
+    branches = []
     for rel, phrase in RELATIONS.items():
         pat = relation_pattern(phrase)
         cond = F.col("line").contains(f" {phrase} ")
@@ -72,9 +77,7 @@ def extract_mention_triples(
             F.regexp_extract(F.col("line"), pat, 1).alias("s_surf"),
             F.regexp_extract(F.col("line"), pat, 2).alias("o_surf"),
         )
-        # chain of WHENs with a NULL fallback: lines containing no
-        # relation phrase never run any regex at all
-        parsed = F.when(cond, branch).otherwise(parsed)
+        branches.append(F.when(cond, branch))  # NULL when phrase absent
 
     def triples_of(p):
         s_iri = _mention_iri_expr(p["s_surf"])
@@ -87,7 +90,8 @@ def extract_mention_triples(
             structs.append(F.when(ok, _mk(o_iri, F.lit(RDFS_LABEL), p["o_surf"], F.lit(""))))
         return F.array(*structs)
 
-    arr = F.array_compact(F.flatten(F.transform(F.array(parsed), triples_of)))
+    parsed_arr = F.array_compact(F.array(*branches))
+    arr = F.array_compact(F.flatten(F.transform(parsed_arr, triples_of)))
     out = lines.select(
         F.explode(arr).alias("t"), "prov_url", "warc_ts"
     ).select("t.subj", "t.pred", "t.obj", "t.obj_dt", "prov_url", "warc_ts")
