@@ -186,10 +186,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (pandas-UDF signature — rows-only check)."""
+    """SimHash near-dups — pure-JVM 60-bit signature, full DuckDB
+    oracle parity (upgraded from rows-only in round 2)."""
     from kgforge.textops.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs_with_clones(spark, sf_dir), max_hamming=3)
+    out = simhash_near_dups(_docs_with_clones(spark, sf_dir), max_hamming=3)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
 
 
 def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,6 +356,85 @@ def q_web_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["canonical_triples"].select("subj", "pred", "obj", "obj_dt")
 
 
+def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS materialized inference (kgforge.rdfs): transitive
+    subClassOf/subPropertyOf + type/property inheritance over schema
+    triples + supplier instances (the consumption semantics of
+    csv2rdf-v4/jena/requests.sparql:9-31)."""
+    from kgforge.rdfs import RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, rdfs_closure
+
+    sup = load(spark, sf_dir, "supplier")
+    null_dt = F.lit(None).cast("string")
+    subj = F.concat(F.lit(DOMAIN + "S_"), F.col("s_suppkey").cast("string"))
+    inst_type = sup.select(
+        subj.alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(DOMAIN + "pnr").alias("obj"),
+        null_dt.alias("obj_dt"),
+    )
+    inst_prop = sup.select(
+        subj.alias("subj"),
+        F.lit(DOMAIN + "supplied_by").alias("pred"),
+        F.concat(F.lit(DOMAIN + "N_"), F.col("s_nationkey").cast("string")).alias(
+            "obj"
+        ),
+        null_dt.alias("obj_dt"),
+    )
+    schema = spark.createDataFrame(
+        [
+            (DOMAIN + "pnr", RDFS_SUBCLASSOF, DOMAIN + "part_ref", None),
+            (DOMAIN + "part_ref", RDFS_SUBCLASSOF, DOMAIN + "asset", None),
+            (DOMAIN + "supplied_by", RDFS_SUBPROPERTYOF, DOMAIN + "related_to", None),
+        ],
+        "subj string, pred string, obj string, obj_dt string",
+    )
+    return rdfs_closure(schema.unionByName(inst_type).unionByName(inst_prop))
+
+
+def q_kg_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S9+A4 through the real front door: two CSV sources + options
+    INI (v1 dialect) written from nation/region, run registry →
+    orchestrator → ONE shared store with global dedup (the overlap:
+    both sources emit the A_<regionkey> type A_Region triples)."""
+    import csv
+    import os
+
+    from kgforge.orchestrate import run_config
+
+    base = "/tmp/kgforge_contract_multisource"
+    os.makedirs(base, exist_ok=True)
+    nation = (
+        load(spark, sf_dir, "nation").select("n_name", "n_regionkey").orderBy("n_name").collect()
+    )
+    region = (
+        load(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+    )
+
+    def w(name: str, rows: list[list[str]]) -> None:
+        with open(os.path.join(base, name), "w", newline="", encoding="utf-8") as f:
+            csv.writer(f, delimiter=";").writerows(rows)
+
+    w("nation.csv", [["n_name", "n_regionkey"]] + [[r.n_name, str(r.n_regionkey)] for r in nation])
+    w("region.csv", [["r_regionkey", "r_name"]] + [[str(r.r_regionkey), r.r_name] for r in region])
+    w("sem_nation.csv", [["n_name", "subject1|Nation"], ["n_regionkey", "subject2|Region|S|in_region"]])
+    w("sem_region.csv", [["r_regionkey", "subject1|Region"], ["r_name", "literal"]])
+    conf = os.path.join(base, "conf.ini")
+    with open(conf, "w", encoding="utf-8") as f:
+        f.write(
+            f"""[nation.csv]
+domain = {DOMAIN}
+delimiter = ;
+semantics = sem_nation.csv
+
+[region.csv]
+domain = {DOMAIN}
+delimiter = ;
+semantics = sem_region.csv
+"""
+        )
+    return run_config(spark, conf, mode="shared")["__shared__"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_melt_part": q_kg_melt_part,
@@ -377,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ontology_reqs": q_kg_ontology_reqs,
         "events_hourly": q_events_hourly,
         "web_kg_pipeline": q_web_kg_pipeline,
+        "kg_rdfs_closure": q_kg_rdfs_closure,
+        "kg_multi_source": q_kg_multi_source,
     }
 
 
@@ -385,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 _D = DOMAIN
 _RDF_TYPE = RDF_TYPE
+_SCO = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+_SPO = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
 _LABEL = RDFS_LABEL
 
 _MELT_PART_SQL = f"""
@@ -491,6 +580,62 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
 """
 )
 
+_SIMHASH_SQL = (
+    "WITH "
+    + _DOCS_CLONES
+    + """,
+toks AS (
+  SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM docs
+),
+h AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+  FROM toks WHERE tok <> ''
+),
+sums AS (
+  SELECT id,
+"""
+    + ",\n".join(
+        f"    SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    + """
+  FROM h GROUP BY id
+),
+sig0 AS (
+  SELECT id,
+"""
+    + "\n    + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    + """ AS simhash
+  FROM sums
+),
+sig AS (
+  SELECT d.id, COALESCE(s.simhash, 0)::BIGINT AS simhash
+  FROM (SELECT DISTINCT doc_id AS id FROM docs) d
+  LEFT JOIN sig0 s ON d.id = s.id
+),
+chunks AS (
+"""
+    + " UNION ALL ".join(
+        f"SELECT id, simhash, {c} AS chunk, (simhash >> {c * 15}) & 32767 AS ck FROM sig"
+        for c in range(4)
+    )
+    + """
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b, l.simhash AS ha, r.simhash AS hb
+  FROM chunks l JOIN chunks r
+    ON l.chunk = r.chunk AND l.ck = r.ck AND l.id < r.id
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+)
+
 _EN = "'the','and','of','to','is','in','that','for'"
 _ES = "'el','la','de','que','los','una','por','con'"
 _DE = "'der','die','und','das','ist','nicht','ein','mit'"
@@ -560,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _MINHASH_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
         "ann_topk_brute": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)
@@ -630,6 +776,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "kg_rdfs_closure": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT '{_D}S_' || CAST(s_suppkey AS VARCHAR) AS subj,
+                     '{_RDF_TYPE}' AS pred, '{_D}pnr' AS obj,
+                     CAST(NULL AS VARCHAR) AS obj_dt
+              FROM supplier
+              UNION ALL
+              SELECT '{_D}S_' || CAST(s_suppkey AS VARCHAR),
+                     '{_D}supplied_by',
+                     '{_D}N_' || CAST(s_nationkey AS VARCHAR), NULL
+              FROM supplier
+              UNION ALL
+              SELECT * FROM (VALUES
+                ('{_D}pnr', '{_SCO}', '{_D}part_ref', CAST(NULL AS VARCHAR)),
+                ('{_D}part_ref', '{_SCO}', '{_D}asset', NULL),
+                ('{_D}supplied_by', '{_SPO}', '{_D}related_to', NULL)
+              ) v(subj, pred, obj, obj_dt)
+            ),
+            scoe AS (SELECT subj AS src, obj AS dst FROM base WHERE pred = '{_SCO}'),
+            sco AS (
+              SELECT src, dst FROM scoe
+              UNION
+              SELECT s.src, e.dst FROM sco s JOIN scoe e ON s.dst = e.src
+            ),
+            spoe AS (SELECT subj AS src, obj AS dst FROM base WHERE pred = '{_SPO}'),
+            spo AS (
+              SELECT src, dst FROM spoe
+              UNION
+              SELECT s.src, e.dst FROM spo s JOIN spoe e ON s.dst = e.src
+            ),
+            inferred AS (
+              SELECT src AS subj, '{_SCO}' AS pred, dst AS obj,
+                     CAST(NULL AS VARCHAR) AS obj_dt FROM sco
+              UNION ALL
+              SELECT src, '{_SPO}', dst, NULL FROM spo
+              UNION ALL
+              SELECT b.subj, '{_RDF_TYPE}', c.dst, NULL
+              FROM base b JOIN sco c ON b.obj = c.src
+              WHERE b.pred = '{_RDF_TYPE}'
+              UNION ALL
+              SELECT b.subj, c.dst, b.obj, b.obj_dt
+              FROM base b JOIN spo c ON b.pred = c.src
+            )
+            SELECT DISTINCT subj, pred, obj, obj_dt FROM (
+              SELECT * FROM base UNION ALL SELECT * FROM inferred
+            )
+        """,
+        "kg_multi_source": f"""
+            WITH t AS (
+              SELECT '{_D}A_' || n_name AS subj, '{_RDF_TYPE}' AS pred,
+                     '{_D}A_Nation' AS obj, CAST(NULL AS VARCHAR) AS obj_dt
+              FROM nation
+              UNION ALL
+              SELECT '{_D}A_' || CAST(n_regionkey AS VARCHAR),
+                     '{_RDF_TYPE}', '{_D}A_Region', NULL
+              FROM nation
+              UNION ALL
+              SELECT '{_D}A_' || n_name, '{_D}A_in_region',
+                     '{_D}A_' || CAST(n_regionkey AS VARCHAR), NULL
+              FROM nation
+              UNION ALL
+              SELECT '{_D}A_' || CAST(r_regionkey AS VARCHAR),
+                     '{_RDF_TYPE}', '{_D}A_Region', NULL
+              FROM region
+              UNION ALL
+              SELECT '{_D}A_' || CAST(r_regionkey AS VARCHAR),
+                     '{_D}A_r_name', r_name, ''
+              FROM region
+            )
+            SELECT DISTINCT subj, pred, obj, obj_dt FROM t
         """,
         "kg_melt_part": melt,
         "kg_sanitize_iri": f"""

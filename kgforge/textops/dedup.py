@@ -16,19 +16,15 @@ Scale notes:
 * ngram-jaccard: exact verification join for candidate pairs; the
   shingle-share join prunes by rarity first (a shingle shared by >maxdf
   docs is dropped as a join key — stopword-shingle explosion guard).
-* simhash: vectorized pandas UDF producing a 64-bit signature;
-  near-dup = hamming distance ≤ k via banded equality join on 16-bit
-  chunks (JVM side).
+* simhash: 60-bit signature via explode + 60 conditional-sum bit
+  aggregates, pure JVM (no Python in the path); near-dup = hamming
+  distance ≤ k via banded equality join on 15-bit chunks.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def word_shingles(text: Column, k: int = 5) -> Column:
@@ -178,46 +174,52 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------- SimHash
-_SIMHASH_BITS = 64
-
-
-def _simhash_py(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (md5-based bit source)."""
-    import hashlib
-
-    acc = [0] * _SIMHASH_BITS
-    for tok in text.split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8", "replace")).digest()[:8], "big")
-        for bit in range(_SIMHASH_BITS):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(_SIMHASH_BITS):
-        if acc[bit] > 0:
-            out |= 1 << bit
-    # map to signed 64-bit for Spark LongType
-    return out - (1 << 64) if out >= (1 << 63) else out
+# 60 bits: the widest md5-hex prefix (15 nibbles) that fits a signed
+# 64-bit integer in EVERY engine (Spark ANSI cast and DuckDB ::BIGINT
+# both reject ≥ 2^63), keeping the signature oracle-checkable.
+_SIMHASH_BITS = 60
+_CHUNK_BITS = 15  # 4 chunks × 15 bits; pigeonhole for hamming ≤ 3
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash:long) via an Arrow-batched pandas UDF."""
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType(), False),
-            T.StructField("simhash", T.LongType(), False),
+    """(id, simhash:long) — pure JVM column expressions.
+
+    Formulation (replaces the round-1 per-row Python loop, which was
+    the engine's only row-at-a-time hot path — 6.07s vs 0.69s for
+    exact dedup at sf0.1): explode whitespace tokens, md5 each token
+    ONCE, take 60 bits via conv(hex,16,10), then one hash-aggregate
+    with 60 conditional-sum bit counters and recombine the sign bits
+    into the signature. The groupBy(id) carries a map-side partial
+    aggregate, so the shuffle is one row of 60 ints per document.
+
+    Empty/whitespace-only documents hash to 0 (no tokens, no bits).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
         ]
     )
-    cols = [id_col, text_col]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].astype("int64"),
-                    "simhash": pdf[text_col].map(_simhash_py).astype("int64"),
-                }
-            )
-
-    return df.select(*cols).mapInPandas(run, schema=out_schema)
+    sig = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    with_sig = sums.select("id", sig.alias("simhash"))
+    # docs whose every token was filtered (empty text) must still get a
+    # signature (0), like the reference formulation
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(with_sig, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_near_dups(
@@ -227,7 +229,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
-    Candidates via banded equality (4×16-bit chunks: any pair within
+    Candidates via banded equality (4×15-bit chunks: any pair within
     hamming 3 shares ≥1 identical chunk — pigeonhole), verified with
     bit_count(xor) on the JVM."""
     sig = simhash(df, id_col, text_col)
@@ -239,7 +241,9 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                        F.shiftright("simhash", c * _CHUNK_BITS)
+                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
+                        .alias("ck"),
                     )
                     for c in range(4)
                 ]

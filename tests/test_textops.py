@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from kgforge.textops.analysis import fingerprint, lang_id, quality_score, token_count
 from kgforge.textops.dedup import (
-    _simhash_py,
     dedup_exact,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -71,14 +70,34 @@ def test_ngram_jaccard(spark):
     assert all(a in (0, 1, 1000, 1001) or b in (1000, 1001, 2000) for (a, b) in out)
 
 
+def _simhash_model(text: str) -> int:
+    """Single-node model of the 60-bit md5 SimHash (same definition as
+    kgforge.textops.dedup.simhash, independently written)."""
+    import hashlib
+
+    acc = [0] * 60
+    for tok in text.split():
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+        for bit in range(60):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    return sum(1 << b for b in range(60) if acc[b] > 0)
+
+
 def test_simhash_properties(spark):
     df = _docs(spark)
     out = {(r.a, r.b): r.hamming for r in simhash_near_dups(df, max_hamming=8).collect()}
     assert out[(0, 1000)] == 0 and out[(1000, 1001)] == 0
     assert (1, 2000) in out
-    # single-node model agrees with the distributed stage
-    h = _simhash_py("alpha beta gamma")
-    assert _simhash_py("alpha beta gamma") == h  # deterministic
+    # distributed JVM signature agrees with the single-node model
+    from kgforge.textops.dedup import simhash
+
+    sigs = {r.id: r.simhash for r in simhash(df).collect()}
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for did in (0, 1, 1000, 2000):
+        assert sigs[did] == _simhash_model(texts[did]), did
+    # empty doc hashes to 0
+    empty = spark.createDataFrame([(1, " ")], "doc_id long, text string")
+    assert simhash(empty).first().simhash == 0
 
 
 def _embeddings(spark, n=200, dim=16, seed=7):
