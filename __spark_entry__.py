@@ -209,13 +209,20 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH ANN (rows-only; recall vs brute force
-    is gated in tests/test_textops.py)."""
-    from kgforge.textops.similarity import lsh_topk
+    """Multi-table hyperplane-LSH ANN probing a MATERIALIZED index
+    partitioned by (tbl, bucket) — the probe's isin lands on the
+    partition column, so the scan itself prunes (rows-only; recall vs
+    brute force is gated in tests/test_textops.py)."""
+    import os
+
+    from kgforge.textops.similarity import ann_index_topk, build_ann_index
 
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
-    return lsh_topk(emb, qvec, k=20)
+    idx = f"/tmp/kgforge_ann_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(idx):
+        build_ann_index(emb, idx)
+    return ann_index_topk(spark, idx, qvec, k=20)
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

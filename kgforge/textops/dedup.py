@@ -137,10 +137,26 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_df: int = 1000,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (a, b, jaccard ≥ threshold).
     Candidate pairs via shared-shingle join, with shingles occurring in
-    more than `max_df` docs dropped as join keys (skew guard)."""
+    more than `max_df` docs dropped as join keys (skew guard).
+
+    Candidate-count bound: a shingle kept by the guard contributes at
+    most max_df·(max_df−1)/2 pairs, so candidates ≤ Σ_s C(min(df_s,
+    max_df), 2) — bounded per-shingle regardless of how stopword-heavy
+    the corpus is. At 100 TB an ABSOLUTE cap is the wrong knob (a
+    1000-doc shingle in a 10^12-doc corpus is vanishingly rare yet
+    still yields ~500k pairs): set `max_df_frac` and the cap becomes
+    max(2, ⌈n_docs·frac⌉), i.e. "drop any shingle shared by more than
+    this fraction of the corpus" — it scales with the data and keeps
+    the guard meaningful at every size. A shingle shared by more than
+    a tiny fraction of documents carries no near-dup signal, only
+    quadratic join fan-out."""
+    if max_df_frac is not None:
+        n_docs = df.count()  # one cheap aggregate, driver-side knob
+        max_df = max(2, int(n_docs * max_df_frac))
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),

@@ -60,6 +60,76 @@ def payload_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = 
     )
 
 
+def _u8(p, off: int):
+    """Unsigned byte at 1-based offset of a binary column (JVM)."""
+    return F.conv(F.hex(F.substring(p, off, 1)), 16, 10).cast("long")
+
+
+def parse_image_header(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """REAL header parsing for the formats readable without a codec —
+    pure byte arithmetic, entirely JVM expressions (no Python, no
+    decode): (id, format, width, height).
+
+    * PNG  (\\x89PNG\\r\\n\\x1a\\n): IHDR width/height, big-endian
+      uint32 at offsets 16/20
+    * GIF  (GIF87a/GIF89a): logical-screen width/height, little-endian
+      uint16 at offsets 6/8
+    * BMP  (BM): BITMAPINFOHEADER width/height, little-endian int32 at
+      offsets 18/22 (height may be negative = top-down; abs() taken)
+    * JPEG (\\xff\\xd8\\xff): detected by magic only — dimensions live
+      in a variable-position SOF segment, which needs a scan, i.e. the
+      decode_stub path
+
+    True codec formats stay behind decode_stub (module docstring)."""
+    p = F.col(payload_col)
+    hex8 = F.upper(F.hex(F.substring(p, 1, 8)))
+
+    is_png = hex8 == "89504E470D0A1A0A"
+    is_gif = F.substring(p, 1, 4).cast("string") == "GIF8"
+    is_bmp = F.upper(F.hex(F.substring(p, 1, 2))) == "424D"
+    is_jpeg = F.upper(F.hex(F.substring(p, 1, 3))) == "FFD8FF"
+
+    png_w = ((_u8(p, 17) * 256 + _u8(p, 18)) * 256 + _u8(p, 19)) * 256 + _u8(p, 20)
+    png_h = ((_u8(p, 21) * 256 + _u8(p, 22)) * 256 + _u8(p, 23)) * 256 + _u8(p, 24)
+    gif_w = _u8(p, 7) + _u8(p, 8) * 256
+    gif_h = _u8(p, 9) + _u8(p, 10) * 256
+    bmp_w = (
+        _u8(p, 19) + _u8(p, 20) * 256 + _u8(p, 21) * 65536 + _u8(p, 22) * 16777216
+    )
+    bmp_h = (
+        _u8(p, 23) + _u8(p, 24) * 256 + _u8(p, 25) * 65536 + _u8(p, 26) * 16777216
+    )
+    # BMP height is SIGNED little-endian (negative = top-down rows)
+    bmp_h_signed = F.when(bmp_h >= F.lit(1 << 31), bmp_h - F.lit(1 << 32)).otherwise(
+        bmp_h
+    )
+
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = (
+        F.when(is_png, png_w).when(is_gif, gif_w).when(is_bmp, bmp_w).cast("int")
+    )
+    height = (
+        F.when(is_png, png_h)
+        .when(is_gif, gif_h)
+        .when(is_bmp, F.abs(bmp_h_signed))
+        .cast("int")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        fmt.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
+    )
+
+
 _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),

@@ -70,6 +70,41 @@ def test_ngram_jaccard(spark):
     assert all(a in (0, 1, 1000, 1001) or b in (1000, 1001, 2000) for (a, b) in out)
 
 
+def test_ngram_jaccard_skew_guard(spark):
+    """Stopword-heavy corpus: a shingle shared by every doc is dropped
+    by the fractional guard, so candidates stay bounded and planted
+    near-dups are still found through their rare shingles."""
+    import random as _r
+
+    rng = _r.Random(11)
+    common = "the cat sat"  # one 3-shingle shared by ALL docs
+    rows = []
+    for i in range(60):
+        rare = " ".join(rng.choice(WORDS) for _ in range(8))
+        rows.append((i, f"{common} {rare}"))
+    rows.append((5000, rows[0][1]))  # planted exact dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = ngram_jaccard_pairs(df, threshold=0.8, max_df_frac=0.2)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert (0, 5000) in pairs  # found via its rare shingles
+
+    # guard bound: with frac=0.2 → max_df=12, no shingle may fan out
+    # beyond C(12,2)=66 pairs; the all-docs common shingle would have
+    # produced C(61,2)=1830 candidate pairs on its own
+    from kgforge.textops.dedup import word_shingles
+
+    sh = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias("s"),
+    )
+    kept = sh.groupBy("s").count().filter(F.col("count") <= 12)
+    cand_bound = kept.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)
+    ).first()[0]
+    assert cand_bound is not None and cand_bound <= 66 * kept.count()
+
+
 def _simhash_model(text: str) -> int:
     """Single-node model of the 60-bit md5 SimHash (same definition as
     kgforge.textops.dedup.simhash, independently written)."""
@@ -105,9 +140,13 @@ def _embeddings(spark, n=200, dim=16, seed=7):
     rows = []
     for i in range(n):
         rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
-    # planted near-duplicate of vector 3
+    # planted near-duplicate of vector 3 (cosine ≈ 1.0)
     v = rows[3][1]
     rows.append((9000, [x + rng.gauss(0, 0.001) for x in v]))
+    # planted NEAR-dup of vector 5 at cosine ≈ 0.96-0.98 — the pair a
+    # single-table blocker loses when it straddles one hyperplane
+    w = rows[5][1]
+    rows.append((9001, [x + rng.gauss(0, 0.25) for x in w]))
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
@@ -123,9 +162,40 @@ def test_brute_force_topk_and_lsh_recall(spark):
 
 def test_embedding_near_dups(spark):
     df = _embeddings(spark)
-    out = {(r.a, r.b): r.score for r in embedding_near_dups(df, threshold=0.99).collect()}
+    out = {(r.a, r.b): r.score for r in embedding_near_dups(df, threshold=0.95).collect()}
     assert (3, 9000) in out and out[(3, 9000)] > 0.999
-    assert len(out) == 1  # random gaussians are not near-dups
+    # the ~0.96-cosine planted pair: found via OR-of-tables (a single
+    # 10-plane table misses pairs straddling one hyperplane)
+    assert (5, 9001) in out and 0.9 < out[(5, 9001)] < 1.0
+    assert all(s >= 0.95 for s in out.values())
+
+
+def test_ann_index_probe_prunes_scan(spark, tmp_path):
+    import contextlib
+    import io
+
+    from kgforge.textops.similarity import ann_index_topk, build_ann_index
+
+    df = _embeddings(spark)
+    q = df.filter(F.col("vec_id") == 3).first().embedding
+    idx = str(tmp_path / "ann_index")
+    build_ann_index(df, idx)
+
+    out = ann_index_topk(spark, idx, q, k=10)
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    approx = [r.vec_id for r in out.collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"index recall@10={recall}"
+
+    # the probe must prune AT THE SCAN: the predicate lands entirely on
+    # the (tbl, bucket) partition columns
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "bucket" in seg, f"bucket not in partition filters: {seg}"
 
 
 def test_lang_id_and_quality(spark):
@@ -155,6 +225,35 @@ def test_token_count_and_fingerprint(spark):
     assert tc == {1: 3, 2: 3, 3: 3}
     fp = {r.id: r.fp for r in fingerprint(df).collect()}
     assert fp[1] == fp[2] == fp[3]  # whitespace+case normalized
+
+
+def test_parse_image_header_magic_bytes(spark):
+    """Real byte fixtures: PNG/GIF/BMP headers parsed to format+dims
+    with pure byte arithmetic; JPEG detected by magic only."""
+    import struct
+
+    from kgforge.textops.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 1000, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 800, -600, 1, 24)  # negative = top-down
+    )
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF"
+    junk = b"not an image at all"
+    rows = [(1, png), (2, gif), (3, bmp), (4, jpeg), (5, junk)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: (r.format, r.width, r.height) for r in parse_image_header(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("bmp", 800, 600)  # abs() of top-down height
+    assert got[4] == ("jpeg", None, None)
+    assert got[5] == (None, None, None)
 
 
 def test_multimodal_plumbing(spark):
