@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import time
 
@@ -39,18 +40,28 @@ def main() -> None:
     from kgforge.web.mentions import extract_mention_triples
     from kgforge.web.pipeline import surfaces_of
 
+    # IDENTICAL configs at both parallelism levels (the protocol's
+    # "same job, same input, only cluster size differs"):
+    #   * shuffle_partitions fixed at 32 (not cores-derived)
+    #   * split size derived from the INPUT SIZE, not the core count:
+    #     target ~256 scan tasks. Round 1 used fixed 1MB splits, which
+    #     at 10M pages meant ~2500 scan tasks and ~2500 output files —
+    #     the output-committer's serial driver-side rename of those
+    #     files was a measured ~10-25s Amdahl floor per write-heavy
+    #     stage. On a real 100TB table the 128MB default is right.
+    input_bytes = sum(
+        os.path.getsize(os.path.join(args.pages_path, f))
+        for f in os.listdir(args.pages_path)
+        if f.endswith(".parquet")
+    )
+    split = min(max(input_bytes // 256, 4 << 20), 128 << 20)
     spark = get_spark(
         app_name=f"kgforge-scaling-{args.cores}",
         master=f"local[{args.cores}]",
-        shuffle_partitions=max(args.cores * 2, 8),
+        shuffle_partitions=32,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            # split sizing: the synthetic corpus is ~1KB/page, so the
-            # default 128MB splits (+4MB file open cost) collapse the
-            # whole scan into ~3 tasks and nothing downstream scales.
-            # On a real 100TB table the default is right; here we size
-            # splits so the scan yields ≥ 4 tasks/core.
-            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": "65536",
         },
     )
@@ -85,10 +96,12 @@ def main() -> None:
     mentions.write.mode("overwrite").parquet(f"{work}/mentions")
     stages["mentions"] = time.perf_counter() - t0
 
-    # 3. linking on distinct surfaces
+    # 3. linking on distinct surfaces (persisted: consumed by the two
+    # edge-endpoint joins here AND the canon stage's node list — the
+    # distinct over the mention table would otherwise run 3×)
     t0 = time.perf_counter()
     mention_df = spark.read.parquet(f"{work}/mentions")
-    surfaces = surfaces_of(mention_df)
+    surfaces = surfaces_of(mention_df).persist()
     edges = link_surfaces(surfaces.select("surface"))
     s1 = surfaces.select(F.col("surface").alias("a"), F.col("iri").alias("iri_a"))
     s2 = surfaces.select(F.col("surface").alias("b"), F.col("iri").alias("iri_b"))

@@ -52,18 +52,66 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Exact union-find on the driver for SMALL edge lists.
+
+    The star loop costs ~2 Spark jobs per iteration; on a cluster-map
+    sized edge list (tens of MB) that is pure fixed overhead — measured
+    ~18s of serial time per pipeline run at 10M pages. Union-find on
+    the collected list is milliseconds and exact. Only reachable under
+    an explicit row-count threshold (see connected_components), so
+    this is a bounded-by-construction collect, not a hot-path one."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = find(row.src), find(row.dst)
+        if a != b:
+            # union by min so the root IS the component min
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    rows = [(n, find(n)) for n in parent] + [
+        (n, n) for n in {find(n) for n in parent}
+    ]
+    return edges.sparkSession.createDataFrame(
+        sorted(set(rows)), "node string, component string"
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Edge list → (node, component) where component = min node id of
     the node's component. Nodes appearing only as isolated vertices are
-    the caller's concern (map them to themselves)."""
+    the caller's concern (map them to themselves).
+
+    Adaptive strategy: edge lists at or under `driver_max_edges` rows
+    (~100 MB of IRI pairs — sameAs graphs over DISTINCT surfaces are
+    orders of magnitude smaller than the corpus) run exact union-find
+    on the driver in two jobs; larger inputs run the iterative
+    alternating-star algorithm, whose O(log n) rounds each cost a
+    constant number of distributed jobs."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    if driver_max_edges is not None and e.count() <= driver_max_edges:
+        return _cc_driver(e)
 
     def _sig(df: DataFrame) -> tuple:
         # order-independent edge-set signature: (count, xor of row

@@ -159,23 +159,43 @@ def candidate_pairs_minhash(
     surfaces: DataFrame,
     surface_col: str = "surface",
     num_hashes: int = 24,
-    rows_per_band: int = 2,
+    rows_per_band: int = 3,
     max_bucket: int = 64,
+    pair_gen: str = "bucket",
+    prune_threshold: float | None = None,
 ) -> DataFrame:
     """Candidate pairs via md5-banded MinHash over char-3-grams — the
     engine's own LSH (same primitive as kgforge.textops.dedup), pure
-    column expressions end to end: one aggregate + one self-join, no
-    ml vectors.
+    column expressions end to end, no ml vectors.
 
-    r=2 bands: a band key is a PAIR of min-hashes, so unrelated
-    surfaces that merely share one very common gram (syllable skew)
-    don't collide — with r=1 the common-gram buckets go quadratic
-    (observed: runaway join on 20k surfaces). Candidate probability at
-    gram-Jaccard j is 1-(1-j²)^b: 0.97 at j=0.5 with b=12.
+    r=3 bands (8 bands of 3 hashes): a band key is a TRIPLE of
+    min-hashes, so unrelated surfaces sharing common grams (syllable
+    skew) rarely collide — with r=1 the common-gram buckets go
+    quadratic (observed: runaway join on 20k surfaces). Candidate
+    probability at gram-Jaccard j is 1-(1-j³)^b: 0.86 at j=0.6 with
+    b=8 per band-theory — but measured on a 770k-surface corpus r=3
+    yields MORE edges than r=2 (448.2k vs 444.9k) at 0.76× the cost,
+    because r=2's common band keys form oversized buckets that the
+    `max_bucket` guard then drops wholesale; r=3's buckets stay under
+    the guard, so fewer true pairs are sacrificed to skew.
 
     `max_bucket` drops oversized buckets outright (standard LSH skew
     guard): a bucket with thousands of members carries no linkage
-    signal and only produces quadratic garbage pairs."""
+    signal and only produces quadratic garbage pairs.
+
+    pair_gen='bucket' (default): groupBy(band, key) + bounded
+    collect_list + in-array pair explosion — ONE shuffle of the banded
+    rows. The collected member array is bounded by `max_bucket`, so no
+    hub row can form. pair_gen='join' keeps the round-1 self-join
+    formulation (bucket-size census join + equi-self-join = three
+    shuffles of the banded rows) for A/B measurement.
+
+    `prune_threshold`: when the caller scores with max(set-cosine,
+    normalized Levenshtein) ≥ t, pairs that CANNOT reach t are dropped
+    before the distinct shuffle using two sound upper bounds —
+    set_cos ≤ sqrt(min(ng)/max(ng)) (intersection ≤ smaller gram set)
+    and lev_sim ≤ 1 − |len_a−len_b| / max(len) (lev ≥ length delta).
+    """
     bands = num_hashes // rows_per_band
     base = (
         surfaces.select(F.col(surface_col).alias("surface"))
@@ -186,40 +206,91 @@ def candidate_pairs_minhash(
         *[
             F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("g")))).alias(f"h{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        F.count(F.lit(1)).alias("ng"),  # distinct-gram count (free here)
     )
-    banded = sig.select(
-        "surface",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("surface", "bk.band", "bk.key")
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
-    pruned = banded.join(
-        sizes.filter(F.col("sz") <= max_bucket).select("band", "key"), ["band", "key"]
-    )
-    l, r = pruned.alias("l"), pruned.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.surface") < F.col("r.surface")),
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("key"),
         )
-        .select(F.col("l.surface").alias("a"), F.col("r.surface").alias("b"))
-        .distinct()
-    )
+        for b in range(bands)
+    ]
+
+    def _prune(pairs: DataFrame) -> DataFrame:
+        if prune_threshold is None:
+            return pairs
+        t = float(prune_threshold)
+        la, lb = F.length("a").cast("double"), F.length("b").cast("double")
+        ub_lev = F.lit(1.0) - F.abs(la - lb) / F.greatest(la, lb)
+        ub_cos = F.sqrt(
+            F.least("ng_a", "ng_b").cast("double")
+            / F.greatest("ng_a", "ng_b").cast("double")
+        )
+        return pairs.filter((ub_cos >= t) | (ub_lev >= t))
+
+    if pair_gen == "bucket":
+        banded = sig.select(
+            F.struct("surface", "ng").alias("m"),
+            F.explode(F.array(*band_structs)).alias("bk"),
+        ).select("m", "bk.band", "bk.key")
+        grouped = (
+            banded.groupBy("band", "key")
+            .agg(F.collect_list("m").alias("mem"))
+            .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
+        )
+        m = F.array_sort(F.col("mem"))
+        pair_structs = F.flatten(
+            F.transform(
+                m,
+                lambda x, i: F.transform(
+                    F.slice(m, i + F.lit(2), F.size(m)),
+                    lambda y: F.struct(
+                        x["surface"].alias("a"),
+                        y["surface"].alias("b"),
+                        x["ng"].alias("ng_a"),
+                        y["ng"].alias("ng_b"),
+                    ),
+                ),
+            )
+        )
+        pairs = (
+            grouped.select(F.explode(pair_structs).alias("p"))
+            .select("p.a", "p.b", "p.ng_a", "p.ng_b")
+        )
+        pairs = _prune(pairs).select("a", "b").distinct()
+    elif pair_gen == "join":
+        banded = sig.select(
+            "surface",
+            "ng",
+            F.explode(F.array(*band_structs)).alias("bk"),
+        ).select("surface", "ng", "bk.band", "bk.key")
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+        pruned = banded.join(
+            sizes.filter(F.col("sz") <= max_bucket).select("band", "key"),
+            ["band", "key"],
+        )
+        l, r = pruned.alias("l"), pruned.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.surface") < F.col("r.surface")),
+            )
+            .select(
+                F.col("l.surface").alias("a"),
+                F.col("r.surface").alias("b"),
+                F.col("l.ng").alias("ng_a"),
+                F.col("r.ng").alias("ng_b"),
+            )
+        )
+        pairs = _prune(pairs).select("a", "b").distinct()
+    else:
+        raise ValueError(f"unknown pair_gen {pair_gen!r}")
     return pairs.withColumn("grams_a", char_ngrams(F.col("a"))).withColumn(
         "grams_b", char_ngrams(F.col("b"))
     )
@@ -260,7 +331,13 @@ def link_surfaces(
     if blocking == "ml":
         pairs = candidate_pairs(reps, "surface", jaccard_max_dist)
     else:
-        pairs = candidate_pairs_minhash(reps, "surface")
+        # the upper-bound prune is only sound for the 'set' scorer
+        # (max of set-cosine and normalized Levenshtein)
+        pairs = candidate_pairs_minhash(
+            reps,
+            "surface",
+            prune_threshold=threshold if scorer == "set" else None,
+        )
     if scorer == "tfidf":
         scored = score_tfidf_cosine(pairs, compute_idf(rep.select(F.col("rep").alias("surface"))))
     else:
