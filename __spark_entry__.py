@@ -359,7 +359,9 @@ def q_web_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.web.pipeline import run_pipeline
 
     corpus = make_corpus(n_pages=300, seed=42)
-    out = run_pipeline(pages_dataframe(spark, corpus), text_from_html=True)
+    out = run_pipeline(
+        pages_dataframe(spark, corpus), text_from_html=True, persist_intermediate=True
+    )
     return out["canonical_triples"].select("subj", "pred", "obj", "obj_dt")
 
 

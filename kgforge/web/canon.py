@@ -60,7 +60,14 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
     ~18s of serial time per pipeline run at 10M pages. Union-find on
     the collected list is milliseconds and exact. Only reachable under
     an explicit row-count threshold (see connected_components), so
-    this is a bounded-by-construction collect, not a hot-path one."""
+    this is a bounded-by-construction collect, not a hot-path one.
+
+    Arrow on both hops (toPandas / createDataFrame-from-pandas): the
+    Row-object collect + pickle-per-tuple parallelize were themselves
+    a multi-second serial cost at ~0.5M edges."""
+    import pandas as pd
+
+    pdf = edges.toPandas()  # Arrow batch transfer
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -71,20 +78,23 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
-        a, b = find(row.src), find(row.dst)
+    for a0, b0 in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        a, b = find(a0), find(b0)
         if a != b:
             # union by min so the root IS the component min
             if a < b:
                 parent[b] = a
             else:
                 parent[a] = b
-    rows = [(n, find(n)) for n in parent] + [
-        (n, n) for n in {find(n) for n in parent}
-    ]
-    return edges.sparkSession.createDataFrame(
-        sorted(set(rows)), "node string, component string"
+    rows = sorted(
+        {(n, find(n)) for n in parent}
+        | {(r, r) for r in {find(n) for n in parent}}
     )
+    out = pd.DataFrame(rows, columns=["node", "component"])
+    spark = edges.sparkSession
+    if len(out) == 0:
+        return spark.createDataFrame([], "node string, component string")
+    return spark.createDataFrame(out)  # Arrow batch transfer
 
 
 def connected_components(

@@ -43,9 +43,16 @@ def run_pipeline(
     text_from_html: bool = True,
     link_threshold: float = 0.78,
     scorer: str = "set",
+    persist_intermediate: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns every stage output keyed by name (callers materialize
-    via kgforge.lineage.run_stage for resumability)."""
+    via kgforge.lineage.run_stage for resumability).
+
+    persist_intermediate=True caches mention_triples and surfaces,
+    which the downstream stages consume 2-4× each — right when the
+    caller materializes everything in one session (benchmarks, the
+    contract query); leave False when stages are checkpointed to
+    storage anyway (the scaling/lineage path persists externally)."""
     if text_from_html:
         extracted = extract_text(pages, "html", "text_extracted")
         pages_txt = extracted.select(
@@ -55,8 +62,12 @@ def run_pipeline(
         pages_txt = pages.select("url", "warc_ts", "text", "lang")
 
     mention_triples = extract_mention_triples(pages_txt, text_col="text")
+    if persist_intermediate:
+        mention_triples = mention_triples.persist()
 
     surfaces = surfaces_of(mention_triples)
+    if persist_intermediate:
+        surfaces = surfaces.persist()
     same_as = link_surfaces(
         surfaces.select(F.col("surface")), threshold=link_threshold, scorer=scorer
     )
