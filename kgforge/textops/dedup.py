@@ -162,14 +162,29 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    rare = sh.join(
-        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= max_df),
-        "s",
-    ).select("id", "s")
+    # pair generation via bounded per-shingle buckets: ONE groupBy(s)
+    # (which applies the max_df guard for free on the aggregated size)
+    # + in-array pair explosion, instead of the sizes-census join +
+    # equi-self-join (two extra shuffles of the full (id, shingle)
+    # table). Member arrays are bounded by max_df, so no hub rows.
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    ids_sorted = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x, i: F.transform(
+                F.slice(ids_sorted, i + F.lit(2), F.size(ids_sorted)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        rare.alias("l")
-        .join(rare.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))

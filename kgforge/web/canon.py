@@ -52,8 +52,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _cc_driver(edges: DataFrame) -> DataFrame:
-    """Exact union-find on the driver for SMALL edge lists.
+def _cc_driver(pdf, spark) -> DataFrame:
+    """Exact union-find on the driver for SMALL edge lists (pdf is the
+    already-fetched pandas edge frame).
 
     The star loop costs ~2 Spark jobs per iteration; on a cluster-map
     sized edge list (tens of MB) that is pure fixed overhead — measured
@@ -67,7 +68,6 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
     a multi-second serial cost at ~0.5M edges."""
     import pandas as pd
 
-    pdf = edges.toPandas()  # Arrow batch transfer
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -91,7 +91,6 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
         | {(r, r) for r in {find(n) for n in parent}}
     )
     out = pd.DataFrame(rows, columns=["node", "component"])
-    spark = edges.sparkSession
     if len(out) == 0:
         return spark.createDataFrame([], "node string, component string")
     return spark.createDataFrame(out)  # Arrow batch transfer
@@ -111,17 +110,20 @@ def connected_components(
     Adaptive strategy: edge lists at or under `driver_max_edges` rows
     (~100 MB of IRI pairs — sameAs graphs over DISTINCT surfaces are
     orders of magnitude smaller than the corpus) run exact union-find
-    on the driver in two jobs; larger inputs run the iterative
-    alternating-star algorithm, whose O(log n) rounds each cost a
-    constant number of distributed jobs."""
+    on the driver — ONE job: a limit(N+1).toPandas() probe that both
+    detects the size class and fetches the edges. Larger inputs run
+    the iterative alternating-star algorithm, whose O(log n) rounds
+    each cost a constant number of distributed jobs."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    if driver_max_edges is not None and e.count() <= driver_max_edges:
-        return _cc_driver(e)
+    if driver_max_edges is not None:
+        probe = e.limit(driver_max_edges + 1).toPandas()
+        if len(probe) <= driver_max_edges:
+            return _cc_driver(probe, e.sparkSession)
+    e = e.localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple:
         # order-independent edge-set signature: (count, xor of row

@@ -197,14 +197,26 @@ def candidate_pairs_minhash(
     and lev_sim ≤ 1 − |len_a−len_b| / max(len) (lev ≥ length delta).
     """
     bands = num_hashes // rows_per_band
+    # repartition BEFORE the heavy map work: the distinct/groupBy
+    # feeding this is AQE-coalesced to a handful of partitions (it is
+    # small), which would strand the gram-explode + signature
+    # aggregation on ~10 tasks (measured par 4.3/8 at 8 cores). The
+    # explicit exchange costs one tiny shuffle and restores full
+    # width; the groupBy(surface) below then reuses its partitioning.
     base = (
         surfaces.select(F.col(surface_col).alias("surface"))
         .distinct()
+        .repartition(F.col("surface"))
         .select("surface", F.explode(F.array_distinct(char_ngrams(F.col("surface")))).alias("g"))
     )
+    # xxhash64 (8-byte long, zero allocation) not md5 (64-char string):
+    # the signature stage hashes ~24× per gram row — md5 strings were
+    # the engine's largest allocation source and a measured GC/scaling
+    # drag; banding needs uniformity, not a cross-engine hash (the
+    # linking contract is F1-gated, not SQL-oracled)
     sig = base.groupBy("surface").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("g")))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
             for i in range(num_hashes)
         ],
         F.count(F.lit(1)).alias("ng"),  # distinct-gram count (free here)
@@ -212,9 +224,8 @@ def candidate_pairs_minhash(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
             ).alias("key"),
         )
         for b in range(bands)
