@@ -55,7 +55,12 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float
 
 
 def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id (0..2^n_planes-1) as a JVM expression."""
+    """Sign-pattern bucket id (0..2^n_planes-1) as a JVM expression.
+
+    Fine for a few planes / one-shot probes; for BULK bucket
+    computation use `buckets_udf` — n_tables×n_planes interpreted
+    array-aggregates per row are ~10× slower than one Arrow-batched
+    numpy matmul (measured 20s vs 2s building the sf0.1 index)."""
     acc = F.lit(0)
     for j, h in enumerate(planes):
         hcol = F.array(*[F.lit(float(x)) for x in h])
@@ -64,6 +69,36 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
         )
         acc = acc + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
+
+
+def buckets_udf(all_planes: list[list[list[float]]]):
+    """Vectorized per-row bucket ids for EVERY table at once: one
+    Arrow-batched matmul against the stacked (n_tables·n_planes, dim)
+    hyperplane matrix, then sign-bit packing per table. Returns an
+    `array<int>` column (element t = table t's bucket)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(all_planes)
+    n_planes = len(all_planes[0])
+    mat = np.asarray(
+        [p for planes in all_planes for p in planes], dtype=np.float64
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit j ↔ plane j
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint inspection then rejects the signature;
+    # the explicit returnType implies a scalar pandas UDF
+    @pandas_udf("array<int>")
+    def _buckets(vecs):
+        v = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (v @ mat.T) >= 0  # (batch, n_tables*n_planes)
+        signs = signs.reshape(len(v), n_tables, n_planes)
+        ids = (signs * weights).sum(axis=2).astype(np.int32)  # (batch, n_tables)
+        return pd.Series(list(ids))
+
+    return _buckets
 
 
 def lsh_topk(
@@ -144,21 +179,26 @@ def embedding_near_dups(
     vec = _as_double(F.col(vec_col))
     ids = df.select(F.col(id_col).alias("id"), vec.alias("v"))
 
-    cand = None
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-        b = ids.select("id", bucket_expr(F.col("v"), planes).alias("bucket"))
-        p = (
-            b.alias("l")
-            .join(
-                b.alias("r"),
-                (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    # one vectorized bucket pass for all tables, then ONE self-join on
+    # (tbl, bucket) — the banded-rows formulation (same shape as the
+    # linking LSH) instead of n_tables separate joins
+    udf = buckets_udf(
+        [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    banded = ids.select(
+        "id", F.posexplode(udf(F.col("v"))).alias("tbl", "bucket")
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
 
     va = ids.select(F.col("id").alias("a"), F.col("v").alias("va"))
     vb = ids.select(F.col("id").alias("b"), F.col("v").alias("vb"))
@@ -175,6 +215,18 @@ def embedding_near_dups(
 
 
 # ----------------------------------------------------------- ANN index
+def _auto_partition_bits(n_rows: int, n_planes: int) -> int:
+    """Physical-partition granularity: aim for ≥ ~4k vectors per
+    partition dir so small indexes don't drown in directory-commit
+    overhead (measured: 13.6s of a 14s build was committing 1024 tiny
+    dirs at 2k vectors) while large ones keep full dir-level pruning.
+    """
+    bits = 0
+    while bits < n_planes and (n_rows >> bits) > 4000:
+        bits += 1
+    return bits
+
+
 def build_ann_index(
     df: DataFrame,
     path: str,
@@ -183,14 +235,22 @@ def build_ann_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    partition_bits: int | None = None,
 ) -> None:
-    """Materialize the LSH index: one narrow pass computing each
-    vector's per-table sign bucket, written as parquet PARTITIONED BY
-    (tbl, bucket). This is the scale path `lsh_topk`'s docstring
+    """Materialize the LSH index: one vectorized pass computing each
+    vector's per-table sign bucket (buckets_udf: single Arrow matmul),
+    written as parquet PARTITIONED BY (tbl, bucket_p) and SORTED by
+    bucket within files. This is the scale path `lsh_topk`'s docstring
     promises: the one-time index cost is amortized over all queries,
-    and a probe reads ONLY the probed partitions — partition pruning
-    at the scan (`PartitionFilters` in the plan), not a filter that
-    computes n_tables×n_planes dot products over the full table.
+    and a probe reads ONLY the probed partitions.
+
+    Two-level pruning: `bucket_p` = the top `partition_bits` bits of
+    the bucket is the DIRECTORY key (partition pruning at the scan —
+    `PartitionFilters` in the plan), and the exact `bucket` is a
+    sorted data column, so the residual isin lands in `PushedFilters`
+    and prunes parquet row groups via min/max stats. partition_bits
+    auto-sizes to the table (dirs stay ≥ ~4k rows) — full dir-level
+    fanout at billions of vectors, a handful of dirs at test scale.
 
     Storage is n_tables× the vector column (standard LSH trade);
     `tbl` is intentionally not named `table` (reserved-ish in SQL
@@ -199,29 +259,25 @@ def build_ann_index(
     if first is None:
         raise ValueError("cannot index an empty vector table")
     dim = len(first[0])
+    if partition_bits is None:
+        partition_bits = _auto_partition_bits(df.count(), n_planes)
     vec = _as_double(F.col(vec_col))
     base = df.select(F.col(id_col).alias("vec_id"), vec.alias("v"))
-    entries = base.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        bucket_expr(
-                            F.col("v"), hyperplanes(dim, n_planes, seed + 1000 * t)
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+    udf = buckets_udf(
+        [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    entries = (
+        base.withColumn("bks", udf(F.col("v")))
+        .select("vec_id", "v", F.posexplode("bks").alias("tbl", "bucket"))
+        .withColumn(
+            "bucket_p", F.shiftright("bucket", n_planes - partition_bits)
+        )
+    )
     (
-        entries.repartition("tbl", "bucket")
+        entries.repartition("tbl", "bucket_p")
+        .sortWithinPartitions("bucket")
         .write.mode("overwrite")
-        .partitionBy("tbl", "bucket")
+        .partitionBy("tbl", "bucket_p")
         .parquet(path)
     )
 
@@ -237,11 +293,21 @@ def ann_index_topk(
     multiprobe_bits: int = 1,
 ) -> DataFrame:
     """Probe the materialized index: per table, an `isin` on the
-    `bucket` PARTITION column (the scan prunes to the probed bucket
-    dirs), union candidates, dedup, exact cosine on survivors only."""
+    `bucket_p` PARTITION column prunes the scan to the probed dirs,
+    and the exact-bucket isin is pushed into the parquet reader
+    (row-group pruning on the sorted bucket column); candidates are
+    deduped, exact cosine on survivors only."""
     qv = [float(x) for x in query_vec]
     q = F.array(*[F.lit(x) for x in qv])
     idx = spark.read.parquet(path)
+    # recover the index's partition granularity from the layout
+    sample = idx.select(F.max("bucket").alias("b"), F.max("bucket_p").alias("p")).first()
+    shift = 0
+    if sample.p is not None and sample.p > 0:
+        while (sample.b >> shift) > sample.p and shift < n_planes:
+            shift += 1
+    else:
+        shift = n_planes
 
     probe_cond = F.lit(False)
     for t in range(n_tables):
@@ -259,8 +325,11 @@ def ann_index_topk(
                 for i in range(n_planes)
                 for j in range(i + 1, n_planes)
             }
+        dir_probes = sorted({b >> shift for b in probes})
         probe_cond = probe_cond | (
-            (F.col("tbl") == t) & F.col("bucket").isin(*sorted(probes))
+            (F.col("tbl") == t)
+            & F.col("bucket_p").isin(*dir_probes)
+            & F.col("bucket").isin(*sorted(probes))
         )
 
     cand = idx.filter(probe_cond).select("vec_id", "v").dropDuplicates(["vec_id"])

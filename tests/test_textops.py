@@ -179,7 +179,9 @@ def test_ann_index_probe_prunes_scan(spark, tmp_path):
     df = _embeddings(spark)
     q = df.filter(F.col("vec_id") == 3).first().embedding
     idx = str(tmp_path / "ann_index")
-    build_ann_index(df, idx)
+    # explicit full-granularity dirs to exercise the dir-level pruning
+    # path (auto-sizing would collapse a 200-vector fixture to one dir)
+    build_ann_index(df, idx, partition_bits=8)
 
     out = ann_index_topk(spark, idx, q, k=10)
     exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
@@ -187,15 +189,23 @@ def test_ann_index_probe_prunes_scan(spark, tmp_path):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.8, f"index recall@10={recall}"
 
-    # the probe must prune AT THE SCAN: the predicate lands entirely on
-    # the (tbl, bucket) partition columns
+    # the probe must prune AT THE SCAN: dir-level on the bucket_p
+    # partition column, row-group-level on the pushed bucket isin
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain(True)
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
-    assert "bucket" in seg, f"bucket not in partition filters: {seg}"
+    assert "bucket_p" in seg, f"bucket_p not in partition filters: {seg}"
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "bucket" in pushed, f"bucket not pushed: {pushed}"
+
+    # auto-sized index (few dirs at this scale) returns the same result
+    idx2 = str(tmp_path / "ann_index_auto")
+    build_ann_index(df, idx2)
+    approx2 = [r.vec_id for r in ann_index_topk(spark, idx2, q, k=10).collect()]
+    assert approx2 == approx
 
 
 def test_lang_id_and_quality(spark):
