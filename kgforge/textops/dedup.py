@@ -116,16 +116,30 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+    # bucket pair generation (one groupBy shuffle) instead of the
+    # banded equi-self-join (two scans + join shuffle). Exactly the
+    # oracle's pair set — no size cap, because capping would change
+    # semantics; a pathological all-identical corpus degenerates the
+    # same way under either formulation (the pair COUNT is quadratic
+    # regardless of how the pairs are produced).
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids_sorted = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x, i: F.transform(
+                F.slice(ids_sorted, i + F.lit(2), F.size(ids_sorted)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
