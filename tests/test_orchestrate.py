@@ -265,3 +265,39 @@ active = True
     assert sorted(reqs) == sorted(
         oracle.v5_ontology_requirements(G.GRAMMAR_V5, rows, G.MIPL_DOMAIN)
     )
+
+
+# ----------------------------------------------------------- error paths
+def test_load_options_missing_file():
+    with pytest.raises(FileNotFoundError):
+        load_options("/nonexistent/conf.ini")
+
+
+def test_default_mode_requires_type_and_prefix():
+    from kgforge.orchestrate import SourceConfig, compile_source
+
+    src = SourceConfig(name="s", file="x.csv", domain="d#", delimiter=";")
+    with pytest.raises(ValueError, match="type"):
+        compile_source(src, ["a", "b"])
+
+
+def test_unknown_mode_and_profile(tmp_path, spark):
+    from kgforge.orchestrate import SourceConfig, run_sources
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        run_sources(spark, [], mode="bogus")
+    sem = tmp_path / "g.ini"
+    sem.write_text("[X]\ncellrole = pkey\ncelltype = t\n")
+    src = SourceConfig(
+        name="s", file="x.csv", domain="d#", delimiter=";",
+        semantics=str(sem), profile="v9",
+    )
+    from kgforge.orchestrate import compile_source
+
+    with pytest.raises(ValueError, match="unknown profile"):
+        compile_source(src, ["X"])
+
+
+def test_sniff_profile_rejects_non_grammar():
+    with pytest.raises(ValueError, match="no cell/cellrole"):
+        sniff_profile("[only]\nlists = here\n")
