@@ -356,13 +356,19 @@ def q_web_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extract → mentions → link → CC → canonical triples; rows-only —
     P/R gates live in tests/test_web_pipeline.py)."""
     from kgforge.web.corpus import make_corpus, pages_dataframe
-    from kgforge.web.pipeline import run_pipeline
+    from kgforge.web.pipeline import run_pipeline, unpersist_intermediates
 
     corpus = make_corpus(n_pages=300, seed=42)
     out = run_pipeline(
         pages_dataframe(spark, corpus), text_from_html=True, persist_intermediate=True
     )
-    return out["canonical_triples"].select("subj", "pred", "obj", "obj_dt")
+    # materialize the result BEFORE releasing the intermediate caches,
+    # so repeated calls in one session (bench loop) don't leak blocks
+    final = (
+        out["canonical_triples"].select("subj", "pred", "obj", "obj_dt").localCheckpoint()
+    )
+    unpersist_intermediates(out)
+    return final
 
 
 def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:

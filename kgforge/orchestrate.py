@@ -33,7 +33,6 @@ sections with `cell` sniff as v4 (the latest of the v2-v4 family).
 from __future__ import annotations
 
 import configparser
-import io
 import os
 from dataclasses import dataclass
 

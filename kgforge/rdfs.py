@@ -58,6 +58,11 @@ def transitive_closure(
         return (row.n, row.x)
 
     sig = _sig(e)
+    if sig[0] == 0:
+        # empty hierarchy (the common case: no schema triples) — the
+        # loop below would still cost 2 probe jobs + a join per
+        # iteration before discovering there is nothing to close
+        return e
     for _ in range(max_iter):
         hop = (
             e.alias("a")

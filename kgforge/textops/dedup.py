@@ -89,15 +89,56 @@ def minhash_signatures_agg(
     )
 
 
+def _in_array_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(…, ids: array) → (a, b) with a < b: all unordered pairs from
+    each row's array, via a lambda index + slice (arg2 of a 2-arg HOF
+    lambda is the element INDEX). Caller guarantees the arrays are
+    size-bounded — this explodes C(n,2) structs from ONE row."""
+    ids_sorted = F.array_sort(F.col(ids_col))
+    pair_structs = F.flatten(
+        F.transform(
+            ids_sorted,
+            lambda x, i: F.transform(
+                F.slice(ids_sorted, i + F.lit(2), F.size(ids_sorted)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket: int | None = None,
+    oversize: str = "join",
 ) -> DataFrame:
     """Near-dup candidate pairs (a, b) with a < b sharing ≥1 LSH band.
-    rows_per_band = num_hashes // bands."""
+    rows_per_band = num_hashes // bands.
+
+    max_bucket=None (default): single-shuffle bucket pair generation —
+    groupBy(band, key) + collect_list + in-array pair explosion.
+    Exactly the oracle's pair set, but an adversarial band bucket
+    (boilerplate-heavy shard: 10⁶ docs with identical band signatures)
+    materializes its whole membership — and the C(n,2) pair array — in
+    ONE row/task. That is an executor OOM, not mere slowness, so at
+    scale always set `max_bucket`.
+
+    max_bucket=N: a size census (groupBy count — tiny rows) splits the
+    banded table BEFORE any membership is collected. Buckets ≤ N take
+    the in-array path (arrays bounded by N); oversized buckets are
+    handled per `oversize`:
+      * "join" — the streaming self-join formulation: the same
+        quadratic pair COUNT, but produced row-at-a-time across tasks,
+        never one giant row (output semantics identical to default);
+      * "drop" — skip them (semantics change: near-dups that share
+        ONLY a saturated bucket are lost; a bucket hotter than N under
+        a reasonable N carries boilerplate, not signal — same policy
+        as ngram_jaccard's max_df guard).
+    """
     rows = num_hashes // bands
     sig = minhash_signatures_agg(df, id_col, text_col, num_hashes)
     banded = sig.select(
@@ -116,32 +157,39 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    # bucket pair generation (one groupBy shuffle) instead of the
-    # banded equi-self-join (two scans + join shuffle). Exactly the
-    # oracle's pair set — no size cap, because capping would change
-    # semantics; a pathological all-identical corpus degenerates the
-    # same way under either formulation (the pair COUNT is quadratic
-    # regardless of how the pairs are produced).
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    ids_sorted = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids_sorted,
-            lambda x, i: F.transform(
-                F.slice(ids_sorted, i + F.lit(2), F.size(ids_sorted)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+
+    if max_bucket is None:
+        buckets = (
+            banded.groupBy("band", "key")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
+        return _in_array_pairs(buckets).distinct()
+
+    if oversize not in ("join", "drop"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
+    tagged = banded.join(sizes.filter(F.col("sz") >= 2), ["band", "key"])
+    small = (
+        tagged.filter(F.col("sz") <= max_bucket)
+        .groupBy("band", "key")
+        .agg(F.collect_list("id").alias("ids"))
     )
-    return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
-        .distinct()
-    )
+    pairs = _in_array_pairs(small)
+    if oversize == "join":
+        big = tagged.filter(F.col("sz") > max_bucket).select("id", "band", "key")
+        big_pairs = (
+            big.alias("l")
+            .join(
+                big.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.key") == F.col("r.key"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        )
+        pairs = pairs.unionByName(big_pairs)
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -186,20 +234,8 @@ def ngram_jaccard_pairs(
         .agg(F.collect_list("id").alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    ids_sorted = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids_sorted,
-            lambda x, i: F.transform(
-                F.slice(ids_sorted, i + F.lit(2), F.size(ids_sorted)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    inter = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = _in_array_pairs(buckets).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("inter")
     )
     sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))

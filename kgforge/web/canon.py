@@ -52,7 +52,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _cc_driver(pdf, spark) -> DataFrame:
+def _cc_driver(pdf, spark, node_type=None) -> DataFrame:
     """Exact union-find on the driver for SMALL edge lists (pdf is the
     already-fetched pandas edge frame).
 
@@ -91,9 +91,19 @@ def _cc_driver(pdf, spark) -> DataFrame:
         | {(r, r) for r in {find(n) for n in parent}}
     )
     out = pd.DataFrame(rows, columns=["node", "component"])
+    # schema pinned to the INPUT edge column type in both branches —
+    # inferring from pandas made the empty case come back as string
+    # while non-empty numeric ids came back as long (schema flipped by
+    # input size)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    dt = node_type if node_type is not None else StringType()
+    schema = StructType(
+        [StructField("node", dt, False), StructField("component", dt, False)]
+    )
     if len(out) == 0:
-        return spark.createDataFrame([], "node string, component string")
-    return spark.createDataFrame(out)  # Arrow batch transfer
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(out, schema)  # Arrow batch transfer
 
 
 def connected_components(
@@ -122,7 +132,7 @@ def connected_components(
     if driver_max_edges is not None:
         probe = e.limit(driver_max_edges + 1).toPandas()
         if len(probe) <= driver_max_edges:
-            return _cc_driver(probe, e.sparkSession)
+            return _cc_driver(probe, e.sparkSession, e.schema["src"].dataType)
     e = e.localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple:

@@ -87,7 +87,21 @@ def run_pipeline(
     return {
         "pages_text": pages_txt,
         "mention_triples": mention_triples,
+        "surfaces": surfaces,
         "same_as": edges,
         "canonical_map": cmap,
         "canonical_triples": canonical,
     }
+
+
+def unpersist_intermediates(result: dict[str, DataFrame]) -> None:
+    """Release the caches a persist_intermediate=True run holds.
+
+    Call after the consuming stages are materialized — a long-lived
+    session that runs the pipeline repeatedly otherwise accumulates
+    cached mention/surface blocks (the same leak class the linking
+    feature cache had in round 1)."""
+    for key in ("mention_triples", "surfaces"):
+        df = result.get(key)
+        if df is not None and df.is_cached:
+            df.unpersist()

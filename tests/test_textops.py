@@ -61,6 +61,71 @@ def test_minhash_candidates_find_planted(spark):
     assert (1, 2000) in pairs  # near dup shares most shingles
 
 
+def test_minhash_max_bucket_join_parity(spark):
+    """oversize='join' routes saturated buckets through the streaming
+    self-join — the PAIR SET is identical to the unbounded default even
+    when max_bucket is small enough to divert nearly every bucket."""
+    df = _docs(spark)
+    base = {(r.a, r.b) for r in minhash_lsh_candidates(df).collect()}
+    bounded = {
+        (r.a, r.b)
+        for r in minhash_lsh_candidates(df, max_bucket=2, oversize="join").collect()
+    }
+    assert bounded == base
+
+
+def test_minhash_max_bucket_drop_planted_mega_bucket(spark):
+    """A planted 10k-member bucket (identical texts → identical band
+    signatures) with oversize='drop': the saturated bucket is excluded
+    BEFORE any membership array is collected, normal near-dups are
+    unaffected."""
+    mega_text = "spam boilerplate footer navigation copyright notice all rights"
+    mega = [(100000 + i, mega_text) for i in range(10000)]
+    df = _docs(spark).unionByName(
+        spark.createDataFrame(mega, "doc_id long, text string")
+    )
+    out = minhash_lsh_candidates(df, max_bucket=64, oversize="drop")
+    pairs = {(r.a, r.b) for r in out.collect()}
+    # the mega bucket contributed nothing
+    assert not any(a >= 100000 or b >= 100000 for a, b in pairs)
+    # planted exact clones from the normal corpus still found
+    assert (0, 1000) in pairs and (0, 1001) in pairs
+
+
+def test_minhash_max_bucket_capped_memory():
+    """The 10k-member planted bucket completes in a memory-capped JVM
+    (the unbounded collect_list formulation would build the C(10k,2) ≈
+    5·10⁷-struct pair array inside ONE row — >1.5 GB in a single task).
+    Fresh subprocess because driver memory is fixed at JVM start."""
+    import subprocess
+    import sys
+
+    script = """
+from kgforge.session import get_spark
+from kgforge.textops.dedup import minhash_lsh_candidates
+spark = get_spark(app_name="capped", master="local[2]", shuffle_partitions=4,
+                  extra_conf={"spark.driver.memory": "700m"})
+rows = [(i, "spam boilerplate footer navigation copyright notice") for i in range(10000)]
+rows += [(20000, "unique alpha beta gamma delta epsilon zeta eta theta"),
+         (20001, "unique alpha beta gamma delta epsilon zeta eta theta")]
+df = spark.createDataFrame(rows, "doc_id long, text string")
+out = minhash_lsh_candidates(df, max_bucket=64, oversize="drop").collect()
+pairs = {(r.a, r.b) for r in out}
+assert pairs == {(20000, 20001)}, pairs
+print("CAPPED_OK")
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CAPPED_OK" in proc.stdout
+
+
 def test_ngram_jaccard(spark):
     df = _docs(spark)
     out = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}

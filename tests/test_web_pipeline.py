@@ -92,6 +92,18 @@ def test_connected_components_chain_and_fixpoint(spark):
     assert cc.count() == n + 1
 
 
+def test_connected_components_schema_stable_by_input_size(spark):
+    """Empty and non-empty edge lists must agree on output types: the
+    empty case previously hardcoded strings while the non-empty case
+    inferred from pandas (long for numeric ids)."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    some = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    t_empty = [f.dataType for f in connected_components(empty).schema.fields]
+    t_some = [f.dataType for f in connected_components(some).schema.fields]
+    assert t_empty == t_some
+    assert connected_components(empty).count() == 0
+
+
 # ------------------------------------------------------------- end-to-end
 def pairwise_f1(pred_map: dict, true_map: dict) -> tuple[float, float, float]:
     def pairs(m):
