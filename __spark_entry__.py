@@ -373,10 +373,17 @@ def q_web_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS materialized inference (kgforge.rdfs): transitive
-    subClassOf/subPropertyOf + type/property inheritance over schema
-    triples + supplier instances (the consumption semantics of
-    csv2rdf-v4/jena/requests.sparql:9-31)."""
-    from kgforge.rdfs import RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, rdfs_closure
+    subClassOf/subPropertyOf + type/property inheritance + rdfs2/rdfs3
+    domain/range entailment over schema triples + supplier instances
+    (the consumption semantics of csv2rdf-v4/jena/requests.sparql:9-31
+    and test-conf.ttl:36-47)."""
+    from kgforge.rdfs import (
+        RDFS_DOMAIN,
+        RDFS_RANGE,
+        RDFS_SUBCLASSOF,
+        RDFS_SUBPROPERTYOF,
+        rdfs_closure,
+    )
 
     sup = load(spark, sf_dir, "supplier")
     null_dt = F.lit(None).cast("string")
@@ -400,6 +407,13 @@ def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             (DOMAIN + "pnr", RDFS_SUBCLASSOF, DOMAIN + "part_ref", None),
             (DOMAIN + "part_ref", RDFS_SUBCLASSOF, DOMAIN + "asset", None),
             (DOMAIN + "supplied_by", RDFS_SUBPROPERTYOF, DOMAIN + "related_to", None),
+            # rdfs2/rdfs3 fixtures: domain/range on the instance pred,
+            # a subclass chain off the range class, and a domain on the
+            # SUPERproperty (fires only through prp-spo1 → rdfs2)
+            (DOMAIN + "supplied_by", RDFS_DOMAIN, DOMAIN + "supplier_cls", None),
+            (DOMAIN + "supplied_by", RDFS_RANGE, DOMAIN + "nation_cls", None),
+            (DOMAIN + "nation_cls", RDFS_SUBCLASSOF, DOMAIN + "place", None),
+            (DOMAIN + "related_to", RDFS_DOMAIN, DOMAIN + "agent", None),
         ],
         "subj string, pred string, obj string, obj_dt string",
     )
@@ -489,6 +503,8 @@ _D = DOMAIN
 _RDF_TYPE = RDF_TYPE
 _SCO = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 _SPO = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+_DOM = "http://www.w3.org/2000/01/rdf-schema#domain"
+_RNG = "http://www.w3.org/2000/01/rdf-schema#range"
 _LABEL = RDFS_LABEL
 
 _MELT_PART_SQL = f"""
@@ -808,7 +824,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM (VALUES
                 ('{_D}pnr', '{_SCO}', '{_D}part_ref', CAST(NULL AS VARCHAR)),
                 ('{_D}part_ref', '{_SCO}', '{_D}asset', NULL),
-                ('{_D}supplied_by', '{_SPO}', '{_D}related_to', NULL)
+                ('{_D}supplied_by', '{_SPO}', '{_D}related_to', NULL),
+                ('{_D}supplied_by', '{_DOM}', '{_D}supplier_cls', NULL),
+                ('{_D}supplied_by', '{_RNG}', '{_D}nation_cls', NULL),
+                ('{_D}nation_cls', '{_SCO}', '{_D}place', NULL),
+                ('{_D}related_to', '{_DOM}', '{_D}agent', NULL)
               ) v(subj, pred, obj, obj_dt)
             ),
             scoe AS (SELECT subj AS src, obj AS dst FROM base WHERE pred = '{_SCO}'),
@@ -823,18 +843,41 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT s.src, e.dst FROM spo s JOIN spoe e ON s.dst = e.src
             ),
+            props_all AS (
+              SELECT subj, pred, obj, obj_dt FROM base
+              UNION ALL
+              SELECT b.subj, c.dst, b.obj, b.obj_dt
+              FROM base b JOIN spo c ON b.pred = c.src
+            ),
+            dome AS (SELECT subj AS src, obj AS dst FROM base WHERE pred = '{_DOM}'),
+            rnge AS (SELECT subj AS src, obj AS dst FROM base WHERE pred = '{_RNG}'),
+            dr_types AS (
+              SELECT p.subj, '{_RDF_TYPE}' AS pred, d.dst AS obj,
+                     CAST(NULL AS VARCHAR) AS obj_dt
+              FROM props_all p JOIN dome d ON p.pred = d.src
+              UNION ALL
+              SELECT p.obj, '{_RDF_TYPE}', r.dst, NULL
+              FROM props_all p JOIN rnge r ON p.pred = r.src
+              WHERE p.obj_dt IS NULL
+            ),
+            all_types AS (
+              SELECT subj, pred, obj, obj_dt FROM base WHERE pred = '{_RDF_TYPE}'
+              UNION ALL
+              SELECT subj, pred, obj, obj_dt FROM dr_types
+            ),
             inferred AS (
               SELECT src AS subj, '{_SCO}' AS pred, dst AS obj,
                      CAST(NULL AS VARCHAR) AS obj_dt FROM sco
               UNION ALL
               SELECT src, '{_SPO}', dst, NULL FROM spo
               UNION ALL
-              SELECT b.subj, '{_RDF_TYPE}', c.dst, NULL
-              FROM base b JOIN sco c ON b.obj = c.src
-              WHERE b.pred = '{_RDF_TYPE}'
+              SELECT t.subj, '{_RDF_TYPE}', c.dst, NULL
+              FROM all_types t JOIN sco c ON t.obj = c.src
               UNION ALL
               SELECT b.subj, c.dst, b.obj, b.obj_dt
               FROM base b JOIN spo c ON b.pred = c.src
+              UNION ALL
+              SELECT subj, pred, obj, obj_dt FROM dr_types
             )
             SELECT DISTINCT subj, pred, obj, obj_dt FROM (
               SELECT * FROM base UNION ALL SELECT * FROM inferred

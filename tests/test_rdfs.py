@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from kgforge.rdfs import (
     RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
     RDFS_SUBCLASSOF,
     RDFS_SUBPROPERTYOF,
     rdfs_closure,
@@ -63,3 +65,77 @@ def test_rdfs_closure_type_and_property_inheritance(spark):
     inferred_only = tset(rdfs_closure(_triples_df(spark, rows), include_input=False))
     assert ("e:x", RDF_TYPE, "c:A", None) not in inferred_only
     assert ("e:x", RDF_TYPE, "c:C", None) in inferred_only
+
+
+def test_rdfs_domain_range_entailment(spark):
+    """rdfs2/rdfs3 incl. the chain cases: domain on a SUPERproperty
+    fires through prp-spo1, and a range class inherits up the closed
+    subClassOf hierarchy. Literals are never typed by rdfs3."""
+    rows = [
+        ("p:p", RDFS_DOMAIN, "c:Subj", None),
+        ("p:p", RDFS_RANGE, "c:Obj", None),
+        ("c:Obj", RDFS_SUBCLASSOF, "c:Top", None),
+        ("p:p", RDFS_SUBPROPERTYOF, "p:q", None),
+        ("p:q", RDFS_DOMAIN, "c:Agent", None),
+        ("e:x", "p:p", "e:y", None),
+        # literal objects: one plain ('' tag), one typed — rdfs3 must
+        # skip both even though p:p has a declared range
+        ("e:x", "p:p", "some text", ""),
+        ("e:x", "p:p", "42", "http://www.w3.org/2001/XMLSchema#int"),
+    ]
+    out = tset(rdfs_closure(_triples_df(spark, rows)))
+    assert ("e:x", RDF_TYPE, "c:Subj", None) in out      # rdfs2
+    assert ("e:y", RDF_TYPE, "c:Obj", None) in out       # rdfs3
+    assert ("e:y", RDF_TYPE, "c:Top", None) in out       # rdfs3 → cax-sco
+    assert ("e:x", RDF_TYPE, "c:Agent", None) in out     # prp-spo1 → rdfs2
+    # no literal was ever promoted to a typed node
+    assert not any(s in ("some text", "42") for s, p, o, dt in out)
+
+
+def test_rdfs_domain_range_from_grammar(spark):
+    """Closure over schema triples ACTUALLY emitted by the v5 grammar
+    compiler (G8/G11 rdfs:domain/rdfs:range, csv2rdf-v5/csv2rdf-v5.py:
+    321-340): every instance triple of a domain-/range-declared
+    predicate entails the corresponding rdf:type."""
+    from kgforge.mapping.compile_ini import compile_v5
+    from kgforge.triples.emit import emit_triples
+
+    grammar = """
+[PNR]
+cellrole = pkey
+celltype = pnr
+
+[SRV]
+cellrole = object
+celltype = nation
+columntype = serviced_to
+
+[ADT]
+cellrole = object
+celltype = string
+columntype = part_description
+"""
+    d = "http://example.org/kg/"
+    spec = compile_v5(d, grammar, ["PNR", "SRV", "ADT"])
+    df = spark.createDataFrame(
+        [("p1", "germany", "first part"), ("p2", "france", "second part")],
+        "PNR string, SRV string, ADT string",
+    )
+    triples = emit_triples(df, spec)
+    base = tset(triples)
+    dom = {s: o for s, p, o, dt in base if p == RDFS_DOMAIN}
+    rng = {s: o for s, p, o, dt in base if p == RDFS_RANGE}
+    assert dom and rng, "grammar fixture must emit domain/range schema triples"
+
+    out = tset(rdfs_closure(triples))
+    checked = 0
+    for s, p, o, dt in base:
+        if p in dom and dt is None:
+            assert (s, RDF_TYPE, dom[p], None) in out
+            checked += 1
+        if p in rng and dt is None:
+            assert (o, RDF_TYPE, rng[p], None) in out
+            checked += 1
+    assert checked > 0, "fixture must contain instance triples of declared preds"
+    # literal cells (ADT strings) must not appear as typed subjects
+    assert not any(s in ("first part", "second part") for s, p, o, dt in out)
