@@ -212,27 +212,43 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH ANN probing a MATERIALIZED index
     partitioned by (tbl, bucket) — the probe's isin lands on the
     partition column, so the scan itself prunes (rows-only; recall vs
-    brute force is gated in tests/test_textops.py)."""
+    brute force is gated in tests/test_textops.py). The cached index
+    is keyed by a CONTENT fingerprint recorded in the index manifest:
+    regenerated data under the same sf-dir name forces a rebuild
+    instead of silently probing a stale index."""
     import os
 
-    from kgforge.textops.similarity import ann_index_topk, build_ann_index
+    from kgforge.textops.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        dataset_fingerprint,
+        read_index_manifest,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
     idx = f"/tmp/kgforge_ann_index_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not os.path.exists(idx):
-        build_ann_index(emb, idx)
-    return ann_index_topk(spark, idx, qvec, k=20)
+    fp = dataset_fingerprint(emb)
+    manifest = read_index_manifest(spark, idx)
+    if manifest is None or manifest.get("fingerprint") != fp:
+        build_ann_index(emb, idx, fingerprint=fp)
+    return ann_index_topk(spark, idx, qvec, k=20, expected_fingerprint=fp)
 
 
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over embeddings ∪ clones
-    (bucketed blocking — rows-only check)."""
+    (multi-table sign-bucket blocking + exact-cosine verify). Fully
+    DuckDB-oracled: the driver-seeded hyperplanes are inlined into the
+    oracle as VALUES, so both engines compute the same buckets."""
     from kgforge.textops.similarity import embedding_near_dups
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clone = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
-    return embedding_near_dups(emb.unionByName(clone), threshold=0.999)
+    return embedding_near_dups(emb.unionByName(clone), threshold=0.999).select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "score",
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +683,62 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 )
 
+def _emb_near_dups_sql(dim: int = 64, n_planes: int = 10, n_tables: int = 3, seed: int = 42) -> str:
+    """Sign-bucket LSH near-dup oracle: the SAME driver-seeded
+    hyperplanes the Spark path uses (kgforge.textops.similarity.
+    hyperplanes) inlined as a (t, j, i, w) VALUES table; buckets via
+    zipped-unnest element/ordinal + per-(id, table, plane) dot sums;
+    candidates = same (table, bucket); exact-cosine verify at the same
+    rounding. Engine float disagreement would need a dot within ~1e-12
+    of zero AND a ≥0.999-cosine pair in that bucket — not reachable on
+    this data."""
+    from kgforge.textops.similarity import hyperplanes
+
+    vals = ",".join(
+        f"({t},{j},{i + 1},{w!r})"
+        for t in range(n_tables)
+        for j, plane in enumerate(hyperplanes(dim, n_planes, seed + 1000 * t))
+        for i, w in enumerate(plane)
+    )
+    return f"""
+        WITH emb2 AS (
+          SELECT CAST(vec_id AS BIGINT) AS id,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT CAST(vec_id + 1000000 AS BIGINT),
+                 CAST(embedding AS DOUBLE[])
+          FROM embeddings
+        ),
+        planes(t, j, i, w) AS (VALUES {vals}),
+        elems AS (
+          SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+          FROM emb2
+        ),
+        dots AS (
+          SELECT e.id, p.t, p.j, SUM(e.x * p.w) AS dot
+          FROM elems e JOIN planes p USING (i)
+          GROUP BY e.id, p.t, p.j
+        ),
+        buckets AS (
+          SELECT id, t,
+                 SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS bucket
+          FROM dots GROUP BY id, t
+        ),
+        cand AS (
+          SELECT DISTINCT l.id AS a, r.id AS b
+          FROM buckets l
+          JOIN buckets r ON l.t = r.t AND l.bucket = r.bucket AND l.id < r.id
+        )
+        SELECT c.a, c.b,
+               ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS score
+        FROM cand c
+        JOIN emb2 ea ON c.a = ea.id
+        JOIN emb2 eb ON c.b = eb.id
+        WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.999
+    """
+
+
 _EN = "'the','and','of','to','is','in','that','for'"
 _ES = "'el','la','de','que','los','una','por','con'"
 _DE = "'der','die','und','das','ist','nicht','ein','mit'"
@@ -737,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _MINHASH_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "emb_near_dups": _emb_near_dups_sql(),
         "ann_topk_brute": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)

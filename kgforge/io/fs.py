@@ -29,6 +29,27 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jpath, True))
 
 
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file (manifests, markers) through the Hadoop
+    FileSystem API — same scheme portability as the data path."""
+    fs, jpath = hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = hadoop_fs(spark, path)
+    jvm = spark._jvm
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes both streams
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
 def collapse_to_file(spark: SparkSession, spark_out_dir: str, dest_file: str) -> None:
     """Move the single part-file of a 1-partition Spark text/csv write
     to `dest_file`, then remove the write directory. CLI convenience —

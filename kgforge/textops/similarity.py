@@ -215,6 +215,41 @@ def embedding_near_dups(
 
 
 # ----------------------------------------------------------- ANN index
+_MANIFEST_NAME = "_kgforge_index.json"
+
+
+def dataset_fingerprint(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """Order-independent content fingerprint of a vector table:
+    (row count, bit_xor of xxhash64(id, vector-as-string)). One narrow
+    scan — cheap at index-build scale (the build scans the vectors
+    anyway); at probe time prefer validating against the manifest's
+    stored fingerprint instead of recomputing over 100 TB."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col(vec_col).cast("string"))),
+            F.lit(0),
+        ).alias("x"),
+    ).first()
+    return f"{row.n}:{row.x}"
+
+
+def _manifest_path(path: str) -> str:
+    return path.rstrip("/") + "/" + _MANIFEST_NAME
+
+
+def read_index_manifest(spark, path: str) -> dict | None:
+    """Build-params manifest written by build_ann_index, or None."""
+    import json
+
+    from kgforge.io.fs import path_exists, read_text
+
+    mp = _manifest_path(path)
+    if not path_exists(spark, mp):
+        return None
+    return json.loads(read_text(spark, mp))
+
+
 def _auto_partition_bits(n_rows: int, n_planes: int) -> int:
     """Physical-partition granularity: aim for ≥ ~4k vectors per
     partition dir so small indexes don't drown in directory-commit
@@ -236,6 +271,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     partition_bits: int | None = None,
+    fingerprint: str | None = None,
 ) -> None:
     """Materialize the LSH index: one vectorized pass computing each
     vector's per-table sign bucket (buckets_udf: single Arrow matmul),
@@ -254,13 +290,23 @@ def build_ann_index(
 
     Storage is n_tables× the vector column (standard LSH trade);
     `tbl` is intentionally not named `table` (reserved-ish in SQL
-    tooling)."""
+    tooling).
+
+    A `_kgforge_index.json` manifest (build params + optional caller-
+    supplied data `fingerprint`) is written next to the data; probes
+    read their parameters from it, so a probe can never silently use
+    planes that differ from the ones the index was built with."""
+    import json
+
+    from kgforge.io.fs import write_text
+
     first = df.select(F.col(vec_col)).first()
     if first is None:
         raise ValueError("cannot index an empty vector table")
     dim = len(first[0])
+    n_rows = df.count()
     if partition_bits is None:
-        partition_bits = _auto_partition_bits(df.count(), n_planes)
+        partition_bits = _auto_partition_bits(n_rows, n_planes)
     vec = _as_double(F.col(vec_col))
     base = df.select(F.col(id_col).alias("vec_id"), vec.alias("v"))
     udf = buckets_udf(
@@ -280,6 +326,24 @@ def build_ann_index(
         .partitionBy("tbl", "bucket_p")
         .parquet(path)
     )
+    # manifest AFTER the data write (mode=overwrite clears the dir);
+    # leading underscore keeps it invisible to spark.read.parquet
+    write_text(
+        df.sparkSession,
+        _manifest_path(path),
+        json.dumps(
+            {
+                "version": 1,
+                "n_planes": n_planes,
+                "n_tables": n_tables,
+                "seed": seed,
+                "partition_bits": partition_bits,
+                "dim": dim,
+                "n_rows": n_rows,
+                "fingerprint": fingerprint,
+            }
+        ),
+    )
 
 
 def ann_index_topk(
@@ -287,27 +351,49 @@ def ann_index_topk(
     path: str,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 4,
-    seed: int = 42,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int | None = None,
     multiprobe_bits: int = 1,
+    expected_fingerprint: str | None = None,
 ) -> DataFrame:
     """Probe the materialized index: per table, an `isin` on the
     `bucket_p` PARTITION column prunes the scan to the probed dirs,
     and the exact-bucket isin is pushed into the parquet reader
     (row-group pruning on the sorted bucket column); candidates are
-    deduped, exact cosine on survivors only."""
+    deduped, exact cosine on survivors only.
+
+    LSH params come from the index's own manifest — a caller passing
+    explicit values that differ from the build's raises instead of
+    silently probing with the wrong hyperplanes (the partition shift
+    likewise comes from the manifest, replacing the old full-index
+    max() recovery scan). `expected_fingerprint` set → must equal the
+    fingerprint recorded at build time (stale-cache guard)."""
+    manifest = read_index_manifest(spark, path)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no {_MANIFEST_NAME} under {path} — rebuild with build_ann_index "
+            "(indexes without a manifest cannot be probed safely)"
+        )
+    for name, given in (("n_planes", n_planes), ("n_tables", n_tables), ("seed", seed)):
+        if given is not None and given != manifest[name]:
+            raise ValueError(
+                f"index at {path} was built with {name}={manifest[name]}, "
+                f"probe requested {name}={given}"
+            )
+    if expected_fingerprint is not None and manifest.get("fingerprint") != expected_fingerprint:
+        raise ValueError(
+            f"index at {path} is stale: built from fingerprint "
+            f"{manifest.get('fingerprint')}, expected {expected_fingerprint}"
+        )
+    n_planes = manifest["n_planes"]
+    n_tables = manifest["n_tables"]
+    seed = manifest["seed"]
+    shift = n_planes - manifest["partition_bits"]
+
     qv = [float(x) for x in query_vec]
     q = F.array(*[F.lit(x) for x in qv])
     idx = spark.read.parquet(path)
-    # recover the index's partition granularity from the layout
-    sample = idx.select(F.max("bucket").alias("b"), F.max("bucket_p").alias("p")).first()
-    shift = 0
-    if sample.p is not None and sample.p > 0:
-        while (sample.b >> shift) > sample.p and shift < n_planes:
-            shift += 1
-    else:
-        shift = n_planes
 
     probe_cond = F.lit(False)
     for t in range(n_tables):

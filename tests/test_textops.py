@@ -273,6 +273,55 @@ def test_ann_index_probe_prunes_scan(spark, tmp_path):
     assert approx2 == approx
 
 
+def test_ann_index_manifest_guards(spark, tmp_path):
+    """The index manifest pins build params + data fingerprint:
+    mismatched probe params and stale fingerprints raise instead of
+    silently returning wrong neighbors."""
+    import pytest as _pytest
+
+    from kgforge.textops.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        dataset_fingerprint,
+        read_index_manifest,
+    )
+
+    df = _embeddings(spark)
+    q = df.filter(F.col("vec_id") == 3).first().embedding
+    idx = str(tmp_path / "ann_guarded")
+    fp = dataset_fingerprint(df)
+    build_ann_index(df, idx, n_planes=8, n_tables=4, seed=42, fingerprint=fp)
+
+    m = read_index_manifest(spark, idx)
+    assert m["n_planes"] == 8 and m["fingerprint"] == fp
+
+    # params read from the manifest == explicit matching params
+    a = [r.vec_id for r in ann_index_topk(spark, idx, q, k=5).collect()]
+    b = [
+        r.vec_id
+        for r in ann_index_topk(spark, idx, q, k=5, n_planes=8, seed=42).collect()
+    ]
+    assert a == b
+
+    with _pytest.raises(ValueError, match="n_planes=8"):
+        ann_index_topk(spark, idx, q, k=5, n_planes=12)
+    with _pytest.raises(ValueError, match="seed=42"):
+        ann_index_topk(spark, idx, q, k=5, seed=7)
+
+    # stale index: same path, regenerated (different) data
+    df2 = _embeddings(spark, seed=99)
+    fp2 = dataset_fingerprint(df2)
+    assert fp2 != fp
+    with _pytest.raises(ValueError, match="stale"):
+        ann_index_topk(spark, idx, q, k=5, expected_fingerprint=fp2)
+
+    # manifest-less directory refuses to serve
+    bare = str(tmp_path / "ann_bare")
+    spark.read.parquet(idx).write.parquet(bare)
+    with _pytest.raises(FileNotFoundError):
+        ann_index_topk(spark, bare, q, k=5)
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
