@@ -1,0 +1,226 @@
+"""Sink/catalog protocol behind resumable triple materialization.
+
+`kgforge.lineage.materialize_triples` talks to a `TripleSink`; the
+parquet+ledger sink is the local/sandbox default, and the Iceberg sink
+binds the SAME protocol to snapshot-based commits on a cluster that has
+the Iceberg runtime on the classpath (SURVEY.md §7.2/§7.4's
+``catalog=iceberg|parquet`` switch). The protocol is deliberately
+minimal — exactly the operations resume needs:
+
+    completed(stage)    buckets already durably committed
+    repair(done)        delete torn output from a crashed run
+    append(df)          write new bucketed data (df carries subj_bucket)
+    bucket_census()     buckets present in storage right now
+    read_buckets(b)     re-read the new buckets for checksum stats
+    commit(stage, rows) durably record completion (ledger append /
+                        snapshot commit)
+
+The reference realizes durability as whole-file Turtle writes
+(csv2rdf/csv2rdf.py:275-290 writes one .ttl per source); at 10^12
+documents durability has to be per-partition, which is what this seam
+expresses.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TripleSink(ABC):
+    """Minimal storage contract for resumable bucketed triple writes."""
+
+    @abstractmethod
+    def completed(self, stage: str) -> set[int]:
+        """Buckets with a durable completion record for `stage`."""
+
+    @abstractmethod
+    def repair(self, done: set[int]) -> list[int]:
+        """Delete bucket output present in storage but NOT in `done`
+        (torn writes from a crashed run). Returns repaired buckets."""
+
+    @abstractmethod
+    def append(self, df: DataFrame, max_records_per_file: int) -> None:
+        """Append `df` (already carrying subj_bucket) to the table."""
+
+    @abstractmethod
+    def bucket_census(self) -> set[int]:
+        """Buckets physically present in storage."""
+
+    @abstractmethod
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Read back exactly `buckets` (for checksum/lineage stats)."""
+
+    @abstractmethod
+    def commit(self, stage: str, lineage_rows: list[tuple]) -> None:
+        """Durably record (stage, bucket, row_count, checksum, run_id)
+        rows — the moment a bucket counts as COMPLETE."""
+
+
+class ParquetLedgerSink(TripleSink):
+    """Default sink: parquet partitioned by subj_bucket + a parquet
+    lineage ledger under <path>/_lineage. All IO through the Hadoop
+    FileSystem API (file://, hdfs://, s3a:// identical)."""
+
+    LINEAGE_SCHEMA = (
+        "stage string, bucket int, row_count long, checksum long, run_id string"
+    )
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+
+    def completed(self, stage: str) -> set[int]:
+        from kgforge import lineage
+
+        return lineage.completed_buckets(self.spark, self.path, stage)
+
+    def repair(self, done: set[int]) -> list[int]:
+        from kgforge import lineage
+
+        return lineage._repair_torn_buckets(self.spark, self.path, done)
+
+    def append(self, df: DataFrame, max_records_per_file: int) -> None:
+        (
+            df.repartition(self.n_buckets, "subj_bucket")
+            .sortWithinPartitions("subj", "pred", "obj")
+            .write.mode("append")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("subj_bucket")
+            .parquet(self.path)
+        )
+
+    def bucket_census(self) -> set[int]:
+        from kgforge import lineage
+
+        return set(lineage._bucket_dirs_on_disk(self.spark, self.path))
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return self.spark.read.parquet(self.path).filter(
+            F.col("subj_bucket").isin(buckets)
+        )
+
+    def commit(self, stage: str, lineage_rows: list[tuple]) -> None:
+        from kgforge import lineage
+
+        self.spark.createDataFrame(
+            lineage_rows, self.LINEAGE_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(
+            lineage._lineage_path(self.path)
+        )
+
+
+def _iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the driver classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergSnapshotSink(TripleSink):
+    """Iceberg binding of the sink protocol (requires the
+    iceberg-spark-runtime jar + a configured catalog; NOT available in
+    this sandbox — the constructor refuses cleanly rather than letting
+    any method half-work).
+
+    Protocol mapping (each commit is an Iceberg snapshot, so the ledger
+    lives next to the data table as a second Iceberg table):
+      append        df.writeTo(table).append() — one snapshot
+      commit        writeTo(table + '_lineage').append() — the lineage
+                    snapshot is the durability point, same as the
+                    parquet ledger append
+      completed     scan of the lineage table
+      bucket_census the table's `.partitions` metadata table
+      repair        DELETE WHERE subj_bucket IN (torn) — or, when the
+                    torn write is the latest snapshot, a rollback via
+                    CALL catalog.system.rollback_to_snapshot
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        if not _iceberg_runtime_available(spark):
+            raise RuntimeError(
+                "catalog='iceberg' requires the Iceberg Spark runtime "
+                "(org.apache.iceberg.spark.SparkCatalog not on the driver "
+                "classpath). Launch with e.g. spark-submit --packages "
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
+                "and a spark.sql.catalog.<name> configuration, or use the "
+                "default catalog='parquet' sink."
+            )
+        self.spark = spark
+        self.table = table
+
+    @property
+    def _lineage_table(self) -> str:
+        return self.table + "_lineage"
+
+    def completed(self, stage: str) -> set[int]:
+        from pyspark.sql import functions as F
+
+        if not self.spark.catalog.tableExists(self._lineage_table):
+            return set()
+        return {
+            r.bucket
+            for r in self.spark.read.table(self._lineage_table)
+            .filter(F.col("stage") == stage)
+            .select("bucket")
+            .collect()
+        }
+
+    def repair(self, done: set[int]) -> list[int]:
+        torn = sorted(self.bucket_census() - done)
+        if torn:
+            self.spark.sql(
+                f"DELETE FROM {self.table} WHERE subj_bucket IN "
+                f"({','.join(str(b) for b in torn)})"
+            )
+        return torn
+
+    def append(self, df: DataFrame, max_records_per_file: int) -> None:
+        (
+            df.repartition("subj_bucket")
+            .sortWithinPartitions("subj", "pred", "obj")
+            .writeTo(self.table)
+            .append()
+        )
+
+    def bucket_census(self) -> set[int]:
+        if not self.spark.catalog.tableExists(self.table):
+            return set()
+        return {
+            r.partition.subj_bucket
+            for r in self.spark.read.table(self.table + ".partitions").collect()
+        }
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return self.spark.read.table(self.table).filter(
+            F.col("subj_bucket").isin(buckets)
+        )
+
+    def commit(self, stage: str, lineage_rows: list[tuple]) -> None:
+        self.spark.createDataFrame(
+            lineage_rows, ParquetLedgerSink.LINEAGE_SCHEMA
+        ).writeTo(self._lineage_table).append()
+
+
+def resolve_sink(
+    spark: SparkSession,
+    path: str,
+    catalog: str | TripleSink = "parquet",
+    n_buckets: int = 64,
+) -> TripleSink:
+    """catalog= flag → sink instance; a TripleSink passes through."""
+    if isinstance(catalog, TripleSink):
+        return catalog
+    if catalog == "parquet":
+        return ParquetLedgerSink(spark, path, n_buckets)
+    if catalog == "iceberg":
+        return IcebergSnapshotSink(spark, path)
+    raise ValueError(f"unknown catalog {catalog!r} (expected parquet|iceberg)")

@@ -25,9 +25,12 @@ the path's scheme — the bucket census and torn-bucket repair behave
 identically on file://, hdfs:// and s3a:// (driver-local os.listdir
 would silently see an empty directory on any remote store).
 
-On a real cluster the same interface binds to Iceberg (`catalog=
-iceberg`): snapshot commit replaces the ledger append, and repair is a
-snapshot rollback. The bucket filter and lineage schema are identical.
+On a real cluster the same interface binds to Iceberg via the sink
+protocol in kgforge.io.catalog (`materialize_triples(...,
+catalog="iceberg")`): snapshot commit replaces the ledger append, and
+repair is a snapshot rollback / partition delete. The bucket filter
+and lineage schema are identical; the Iceberg sink refuses cleanly
+when the runtime jar is absent.
 """
 
 from __future__ import annotations
@@ -106,11 +109,19 @@ def materialize_triples(
     stage: str = "materialize",
     n_buckets: int = 64,
     max_records_per_file: int = 20000,
+    catalog: str | object = "parquet",
 ) -> dict:
-    """Idempotent, resumable bucketed write. Returns run metrics."""
+    """Idempotent, resumable bucketed write. Returns run metrics.
+
+    `catalog` selects the storage binding: "parquet" (default),
+    "iceberg" (requires the runtime jar — raises cleanly without it),
+    or a kgforge.io.catalog.TripleSink instance."""
+    from kgforge.io.catalog import resolve_sink
+
     spark = triples.sparkSession
-    done = completed_buckets(spark, path, stage)
-    torn = _repair_torn_buckets(spark, path, done)
+    sink = resolve_sink(spark, path, catalog, n_buckets)
+    done = sink.completed(stage)
+    torn = sink.repair(done)
 
     # a NULL subject would land in __HIVE_DEFAULT_PARTITION__ and wedge
     # every later resume — fail the write instead of corrupting the
@@ -128,20 +139,12 @@ def materialize_triples(
     run_id = uuid.uuid4().hex[:12]
     # single pass over the input: write, then compute lineage stats
     # from the WRITTEN columnar files (cheap re-read of only the new
-    # buckets; the ledger certifies what is actually on disk)
-    (
-        df.repartition(n_buckets, "subj_bucket")
-        .sortWithinPartitions("subj", "pred", "obj")
-        .write.mode("append")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("subj_bucket")
-        .parquet(path)
-    )
-    on_disk = set(_bucket_dirs_on_disk(spark, path))
-    todo = sorted(on_disk - done)
+    # buckets; the ledger certifies what is actually in storage)
+    sink.append(df, max_records_per_file)
+    todo = sorted(sink.bucket_census() - done)
     rows_written = 0
     if todo:
-        written = spark.read.parquet(path).filter(F.col("subj_bucket").isin(todo))
+        written = sink.read_buckets(todo)
         row_hash = F.xxhash64(
             *[F.coalesce(F.col(c), F.lit("\x00")) for c in TRIPLE_KEY]
         )
@@ -157,10 +160,7 @@ def materialize_triples(
             (stage, int(r.subj_bucket), int(r.row_count), int(r.checksum), run_id)
             for r in stats
         ]
-        spark.createDataFrame(
-            lineage_rows,
-            "stage string, bucket int, row_count long, checksum long, run_id string",
-        ).coalesce(1).write.mode("append").parquet(_lineage_path(path))
+        sink.commit(stage, lineage_rows)
         rows_written = int(sum(r.row_count for r in stats))
 
     return {
