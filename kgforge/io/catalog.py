@@ -67,10 +67,17 @@ class ParquetLedgerSink(TripleSink):
         "stage string, bucket int, row_count long, checksum long, run_id string"
     )
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 64,
+        salt_partitions: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self.salt_partitions = salt_partitions
 
     def completed(self, stage: str) -> set[int]:
         from kgforge import lineage
@@ -83,9 +90,32 @@ class ParquetLedgerSink(TripleSink):
         return lineage._repair_torn_buckets(self.spark, self.path, done)
 
     def append(self, df: DataFrame, max_records_per_file: int) -> None:
+        from pyspark.sql import functions as F
+
+        if self.salt_partitions and self.salt_partitions > 1:
+            # head-entity skew guard (the north rule's "salted
+            # repartitioning"): a mega-hub subject puts ~all its rows
+            # in ONE subj_bucket, so hashing on the bucket alone makes
+            # one write task the straggler. Salting by a hash of the
+            # non-subject columns splits a hot bucket across up to
+            # `salt_partitions` tasks; partitionBy still routes every
+            # row to the right bucket dir (a dir simply receives files
+            # from several tasks). Within-file sort order is kept, so
+            # per-file subj min/max row-group pruning still works.
+            salt = F.pmod(
+                F.xxhash64(
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in df.columns if c != "subj_bucket"]
+                ),
+                F.lit(int(self.salt_partitions)),
+            )
+            out = df.repartition(
+                self.n_buckets, F.col("subj_bucket"), salt.alias("salt")
+            )
+        else:
+            out = df.repartition(self.n_buckets, "subj_bucket")
         (
-            df.repartition(self.n_buckets, "subj_bucket")
-            .sortWithinPartitions("subj", "pred", "obj")
+            out.sortWithinPartitions("subj_bucket", "subj", "pred", "obj")
             .write.mode("append")
             .option("maxRecordsPerFile", max_records_per_file)
             .partitionBy("subj_bucket")
@@ -215,12 +245,13 @@ def resolve_sink(
     path: str,
     catalog: str | TripleSink = "parquet",
     n_buckets: int = 64,
+    salt_partitions: int | None = None,
 ) -> TripleSink:
     """catalog= flag → sink instance; a TripleSink passes through."""
     if isinstance(catalog, TripleSink):
         return catalog
     if catalog == "parquet":
-        return ParquetLedgerSink(spark, path, n_buckets)
+        return ParquetLedgerSink(spark, path, n_buckets, salt_partitions)
     if catalog == "iceberg":
         return IcebergSnapshotSink(spark, path)
     raise ValueError(f"unknown catalog {catalog!r} (expected parquet|iceberg)")

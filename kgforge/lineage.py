@@ -110,16 +110,23 @@ def materialize_triples(
     n_buckets: int = 64,
     max_records_per_file: int = 20000,
     catalog: str | object = "parquet",
+    salt_partitions: int | None = None,
 ) -> dict:
     """Idempotent, resumable bucketed write. Returns run metrics.
 
     `catalog` selects the storage binding: "parquet" (default),
     "iceberg" (requires the runtime jar — raises cleanly without it),
-    or a kgforge.io.catalog.TripleSink instance."""
+    or a kgforge.io.catalog.TripleSink instance.
+
+    `salt_partitions` spreads a hot subj_bucket (head-entity skew:
+    one mega-hub subject ≈ one bucket ≈ one straggler write task)
+    across up to that many tasks by co-hashing a salt derived from the
+    non-subject columns. Layout, resume and audit semantics are
+    unchanged — only task balance differs."""
     from kgforge.io.catalog import resolve_sink
 
     spark = triples.sparkSession
-    sink = resolve_sink(spark, path, catalog, n_buckets)
+    sink = resolve_sink(spark, path, catalog, n_buckets, salt_partitions)
     done = sink.completed(stage)
     torn = sink.repair(done)
 

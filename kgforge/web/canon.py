@@ -171,10 +171,22 @@ def canonical_map(edges: DataFrame, all_nodes: DataFrame | None = None) -> DataF
     return cmap
 
 
-def rewrite_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
+def rewrite_triples(
+    triples: DataFrame, cmap: DataFrame, collapse_prov: bool = True
+) -> DataFrame:
     """Rewrite subj and IRI-objects through the canonical map (two
-    broadcast-or-shuffle joins; AQE handles head-entity skew), then
-    re-dedup (distinct mentions can collapse onto one canonical)."""
+    broadcast-or-shuffle joins; AQE skew-join splitting handles a
+    head-entity hub on the probe side), then re-dedup.
+
+    collapse_prov=True (default): one row per distinct (subj, pred,
+    obj, obj_dt), provenance collapsed with min() — the compact KG.
+    collapse_prov=False: one row per (triple, provenance) — the
+    north-rule (subj, pred, obj, prov_url, warc_ts) lineage table,
+    deduped on the FULL row. This is the shape where a mega-hub
+    subject really concentrates rows (a hub mentioned on 30% of pages
+    keeps one row per mentioning page), so the bucketed writer's
+    salted repartitioning (kgforge.lineage.materialize_triples
+    salt_partitions) exists for exactly this output."""
     sm = cmap.select(F.col("node").alias("subj"), F.col("canon").alias("subj_canon"))
     om = cmap.select(F.col("node").alias("obj"), F.col("canon").alias("obj_canon"))
     out = (
@@ -195,6 +207,11 @@ def rewrite_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
         )
     )
     prov = [c for c in out.columns if c not in ("subj", "pred", "obj", "obj_dt")]
+    if not collapse_prov:
+        # full-row dedup: the grouping key includes provenance, so a
+        # hub subject's rows spread across the shuffle by (obj, prov)
+        # and the map-side partial aggregate stays effective
+        return out.dropDuplicates()
     if prov:
         return out.groupBy("subj", "pred", "obj", "obj_dt").agg(
             *[F.min(c).alias(c) for c in prov]

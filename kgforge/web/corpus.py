@@ -164,6 +164,7 @@ def make_corpus(
     n_pages: int = 1000,
     seed: int = 42,
     facts_per_page: tuple[int, int] = (2, 6),
+    hub_frac: float = 0.0,
 ) -> Corpus:
     """Entity universe scales with corpus size (floors keep small test
     corpora byte-stable): a fixed fact base would make every
@@ -215,10 +216,17 @@ def make_corpus(
     labels: set = set()
 
     fact_cum = _zipf_cum(len(facts), a=1.1)  # hoisted: O(1) page loop
+    hub = orgs[0]  # planted mega-hub (already the Zipf head org)
     for i in range(n_pages):
         k = rng.randint(*facts_per_page)
+        page_facts = list(rng.choices(facts, cum_weights=fact_cum, k=k))
+        if hub_frac and rng.random() < hub_frac:
+            # head-entity skew fixture: the hub appears as SUBJECT on
+            # ~hub_frac of all pages, partnered with a random org —
+            # the canonical hub IRI then dominates the subject column
+            page_facts.append((hub, "partner_of", pick(orgs, org_cum)))
         lines: list[str] = []
-        for s_ent, rel, o_ent in rng.choices(facts, cum_weights=fact_cum, k=k):
+        for s_ent, rel, o_ent in page_facts:
             s_surf = rng.choice(s_ent.variants)
             o_surf = rng.choice(o_ent.variants)
             lines.append(f"{s_surf} {RELATIONS[rel]} {o_surf}.")
@@ -268,7 +276,11 @@ def true_canonical_triples(corpus: Corpus) -> set:
 
 
 def corpus_to_parquet(
-    path: str, n_pages: int, seed: int = 42, rows_per_file: int = 4000
+    path: str,
+    n_pages: int,
+    seed: int = 42,
+    rows_per_file: int = 4000,
+    hub_frac: float = 0.0,
 ) -> None:
     """Write the web_pages table as a MULTI-FILE parquet dataset via
     pyarrow, STREAMING chunk by chunk (a multi-million-page corpus
@@ -313,13 +325,17 @@ def corpus_to_parquet(
     fact_cum = _zipf_cum(len(facts), a=1.1)
     t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
+    hub = orgs[0]  # planted mega-hub (see make_corpus)
     os.makedirs(path, exist_ok=True)
     for start in range(0, n_pages, rows_per_file):
         urls, tss, htmls, texts, langs = [], [], [], [], []
         for i in range(start, min(start + rows_per_file, n_pages)):
             k = rng.randint(2, 6)
             lines = []
-            for s_ent, rel, o_ent in rng.choices(facts, cum_weights=fact_cum, k=k):
+            page_facts = list(rng.choices(facts, cum_weights=fact_cum, k=k))
+            if hub_frac and rng.random() < hub_frac:
+                page_facts.append((hub, "partner_of", pick(orgs, org_cum)))
+            for s_ent, rel, o_ent in page_facts:
                 s_surf = rng.choice(s_ent.variants)
                 o_surf = rng.choice(o_ent.variants)
                 lines.append(f"{s_surf} {RELATIONS[rel]} {o_surf}.")

@@ -114,3 +114,58 @@ def test_iceberg_sink_error_path(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown catalog"):
         materialize_triples(_triples(spark), str(tmp_path / "bogus"), catalog="nope")
+
+
+def test_salted_write_same_table_more_hub_files(spark, tmp_path):
+    """Head-entity skew: with a mega-hub subject holding ~40% of rows,
+    salt_partitions must split the hot bucket across several write
+    tasks (≥2 files in its dir) while producing the IDENTICAL table
+    and a passing audit."""
+    from pyspark.sql import functions as F2
+
+    hub = spark.range(2000).select(
+        F2.lit("urn:hub").alias("subj"),
+        F2.lit("urn:partner_of").alias("pred"),
+        F2.concat(F2.lit("urn:o"), F2.col("id").cast("string")).alias("obj"),
+        F2.lit(None).cast("string").alias("obj_dt"),
+        F2.concat(F2.lit("https://ex/p"), F2.col("id").cast("string")).alias("prov_url"),
+    )
+    tail = spark.range(3000).select(
+        F2.concat(F2.lit("urn:s"), (F2.col("id") % 500).cast("string")).alias("subj"),
+        F2.lit("urn:p").alias("pred"),
+        F2.concat(F2.lit("urn:v"), F2.col("id").cast("string")).alias("obj"),
+        F2.lit(None).cast("string").alias("obj_dt"),
+        F2.concat(F2.lit("https://ex/q"), F2.col("id").cast("string")).alias("prov_url"),
+    )
+    triples = hub.unionByName(tail)
+
+    plain, salted = str(tmp_path / "plain"), str(tmp_path / "salted")
+    # high max_records_per_file so file count reflects TASKS, not size
+    materialize_triples(triples, plain, n_buckets=16, max_records_per_file=10**7)
+    m = materialize_triples(
+        triples, salted, n_buckets=16, max_records_per_file=10**7, salt_partitions=8
+    )
+    assert m["rows_written"] == 5000
+    assert verify_lineage(spark, salted)
+
+    a = {tuple(r) for r in spark.read.parquet(plain).drop("subj_bucket").collect()}
+    b = {tuple(r) for r in spark.read.parquet(salted).drop("subj_bucket").collect()}
+    assert a == b  # identical table either way
+
+    # locate the hub's bucket dir and compare file counts
+    hub_bucket = spark.read.parquet(salted).filter(
+        F2.col("subj") == "urn:hub"
+    ).select("subj_bucket").first()[0]
+
+    def files_in(base):
+        d = os.path.join(base, f"subj_bucket={hub_bucket}")
+        return [f for f in os.listdir(d) if f.startswith("part-")]
+
+    assert len(files_in(plain)) == 1      # one straggler task wrote it all
+    assert len(files_in(salted)) >= 2     # salt split the hot bucket
+
+    # resume semantics unchanged under salt
+    m2 = materialize_triples(
+        triples, salted, n_buckets=16, max_records_per_file=10**7, salt_partitions=8
+    )
+    assert m2["buckets_written"] == 0 and m2["buckets_skipped"] == 16
