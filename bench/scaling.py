@@ -25,8 +25,15 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(cores: int, pages_path: str, pages: int, zip_path: str) -> dict:
-    out = f"/tmp/kgforge_scaling/run{cores}.json"
+def run_one(
+    cores: int,
+    pages_path: str,
+    pages: int,
+    zip_path: str,
+    eventlog_dir: str | None = None,
+    out_suffix: str = "",
+) -> dict:
+    out = f"/tmp/kgforge_scaling/run{cores}{out_suffix}.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(sys.executable), "spark-submit"
@@ -46,6 +53,9 @@ def run_one(cores: int, pages_path: str, pages: int, zip_path: str) -> dict:
         "--pages-path", pages_path,
         "--out", out,
     ]
+    if eventlog_dir:
+        os.makedirs(eventlog_dir, exist_ok=True)
+        cmd += ["--eventlog-dir", eventlog_dir]
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # prove the zip is sufficient
     subprocess.run(cmd, check=True, env=env, capture_output=True)

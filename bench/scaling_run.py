@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--pages-path", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--workdir", default="/tmp/kgforge_scaling")
+    ap.add_argument("--eventlog-dir", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -63,6 +64,17 @@ def main() -> None:
             "spark.ui.showConsoleProgress": "false",
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": "65536",
+            # per-task CPU evidence for the ladder (uncompressed so the
+            # analyzers can stream it)
+            **(
+                {
+                    "spark.eventLog.enabled": "true",
+                    "spark.eventLog.compress": "false",
+                    "spark.eventLog.dir": "file://" + args.eventlog_dir,
+                }
+                if args.eventlog_dir
+                else {}
+            ),
         },
     )
 
