@@ -480,6 +480,92 @@ semantics = sem_region.csv
     return run_config(spark, conf, mode="shared")["__shared__"]
 
 
+# --- SPARQL consumption layer (kgforge.sparql) -----------------------------
+_SPARQL_V1 = DOMAIN.rstrip("#") + "/v01#"
+_SPARQL_V2 = DOMAIN.rstrip("#") + "/v02#"
+_SPARQL_MOTHER = DOMAIN + "applicable_to"
+_SPARQL_SPO = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+
+
+def _sparql_version_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned property fixture shaped like the reference's
+    test-version.ttl, instantiated from `part`: v02 links every part to
+    its brand AND container nodes; v01 (the superseded version) states
+    only the brand link, only for even part keys."""
+    part = load(spark, sf_dir, "part")
+    null_dt = F.lit(None).cast("string")
+    subj = F.concat(F.lit(DOMAIN + "P_"), F.col("p_partkey").cast("string"))
+    brand = F.concat(F.lit(DOMAIN + "BR_"), F.translate("p_brand", "# ", "__"))
+    typ = F.concat(F.lit(DOMAIN + "TY_"), F.translate("p_type", "# ", "__"))
+
+    def link(pred: str, obj_col, flt=None):
+        df = part if flt is None else part.filter(flt)
+        return df.select(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj_col.alias("obj"),
+            null_dt.alias("obj_dt"),
+        )
+
+    v2 = link(_SPARQL_V2 + "applicable_to", brand).unionByName(
+        link(_SPARQL_V2 + "applicable_to", typ)
+    )
+    v1 = link(
+        _SPARQL_V1 + "applicable_to", brand, F.col("p_partkey") % 2 == 0
+    )
+    schema = spark.createDataFrame(
+        [
+            (_SPARQL_V1 + "applicable_to", _SPARQL_SPO, _SPARQL_MOTHER, None),
+            (_SPARQL_V2 + "applicable_to", _SPARQL_SPO, _SPARQL_MOTHER, None),
+        ],
+        "subj string, pred string, obj string, obj_dt string",
+    )
+    return v2.unionByName(v1).unionByName(schema)
+
+
+def q_kg_sparql_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL version resolution (kgforge.sparql): the reference's
+    latest-version query verbatim (csv2rdf-v4/jena/requests.sparql:
+    22-31) — SELECT DISTINCT + MINUS + FILTER compiled to a broadcast
+    anti-join against the schema-bound MINUS side."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    prefix ns1: <{DOMAIN}>
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT distinct ?x ?z
+    WHERE
+    {{
+        ?x ns1v2:applicable_to ?z .
+        MINUS {{
+            ?x ?r1 ?z .
+            ?r1 rdfs:subPropertyOf ns1:applicable_to .
+            filter(?r1 != ns1v2:applicable_to)
+        }}
+    }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT inference (kgforge.sparql): the reference's
+    subPropertyOf-lifting query verbatim (requests.sparql:9-12) over
+    the versioned fixture — every versioned link materialized on the
+    mother property, set semantics."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    CONSTRUCT {?x ?r ?y .}
+    WHERE {?x ?q ?y .
+    ?q rdfs:subPropertyOf ?r }
+    """
+    return sparql(triples, q)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_melt_part": q_kg_melt_part,
@@ -509,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_kg_pipeline": q_web_kg_pipeline,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_multi_source": q_kg_multi_source,
+        "kg_sparql_version": q_kg_sparql_version,
+        "kg_sparql_construct": q_kg_sparql_construct,
     }
 
 
@@ -979,6 +1067,68 @@ def oracle_sql() -> dict[str, str]:
               FROM region
             )
             SELECT DISTINCT subj, pred, obj, obj_dt FROM t
+        """,
+        "kg_sparql_version": f"""
+            WITH triples AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS subj,
+                     '{_SPARQL_V2}applicable_to' AS pred,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS obj
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_SPARQL_V2}applicable_to',
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_SPARQL_V1}applicable_to',
+                     '{_D}BR_' || translate(p_brand, '# ', '__')
+              FROM part WHERE p_partkey % 2 = 0
+              UNION ALL
+              SELECT '{_SPARQL_V1}applicable_to', '{_SPO}', '{_SPARQL_MOTHER}'
+              UNION ALL
+              SELECT '{_SPARQL_V2}applicable_to', '{_SPO}', '{_SPARQL_MOTHER}'
+            ),
+            sel AS (
+              SELECT subj AS x, obj AS z FROM triples
+              WHERE pred = '{_SPARQL_V2}applicable_to'
+            ),
+            m AS (
+              SELECT t.subj AS x, t.obj AS z
+              FROM triples t
+              JOIN triples s
+                ON s.subj = t.pred AND s.pred = '{_SPO}'
+               AND s.obj = '{_SPARQL_MOTHER}'
+              WHERE t.pred <> '{_SPARQL_V2}applicable_to'
+            )
+            SELECT DISTINCT x, z FROM sel
+            WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.x = sel.x AND m.z = sel.z)
+        """,
+        "kg_sparql_construct": f"""
+            WITH triples AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS subj,
+                     '{_SPARQL_V2}applicable_to' AS pred,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS obj
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_SPARQL_V2}applicable_to',
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_SPARQL_V1}applicable_to',
+                     '{_D}BR_' || translate(p_brand, '# ', '__')
+              FROM part WHERE p_partkey % 2 = 0
+              UNION ALL
+              SELECT '{_SPARQL_V1}applicable_to', '{_SPO}', '{_SPARQL_MOTHER}'
+              UNION ALL
+              SELECT '{_SPARQL_V2}applicable_to', '{_SPO}', '{_SPARQL_MOTHER}'
+            )
+            SELECT DISTINCT t.subj AS subj, s.obj AS pred, t.obj AS obj,
+                   CAST(NULL AS VARCHAR) AS obj_dt
+            FROM triples t
+            JOIN triples s ON s.subj = t.pred AND s.pred = '{_SPO}'
         """,
         "kg_melt_part": melt,
         "kg_sanitize_iri": f"""

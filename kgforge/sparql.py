@@ -1,0 +1,634 @@
+"""Mini-SPARQL over the triple table, compiled to DataFrame plans.
+
+The reference's documented consumption mode for its emitted triples is
+SPARQL against a Jena endpoint (csv2rdf-v4/jena/requests.sparql): a
+plain BGP dump (:7), a subPropertyOf-inference CONSTRUCT/INSERT
+(:9-19), and the version-resolution SELECT DISTINCT + MINUS + FILTER
+(:22-31). This module makes the triple table queryable the same way
+WITHOUT an external triple store, by compiling that SPARQL subset
+straight to Catalyst plans:
+
+  grammar   PREFIX pfx: <iri>
+            SELECT [DISTINCT] (?v ... | *) WHERE { group }
+            CONSTRUCT { template } WHERE { group }
+            INSERT { template } WHERE { group }       (same as CONSTRUCT)
+            group := triple patterns ('.'-separated, ';'/',' lists,
+                     `a` == rdf:type) | MINUS { group } | FILTER(expr)
+                     | nested { group }
+            expr  := !=, =, <, <=, >, >=, &&, ||, !, parens; operands
+                     are ?vars, IRIs/pnames, "literals", numbers
+
+  compile   each triple pattern -> a scan of the triple table with the
+            constant positions pushed down as filters (subj/pred/obj
+            equality reaches the parquet scan as PushedFilters) and the
+            variable positions projected to the variable name; patterns
+            chain with equi-joins on their shared variables. Patterns
+            whose predicate is a schema predicate (rdfs:subClassOf /
+            subPropertyOf / domain / range) are broadcast — the schema
+            side is grammar-sized, so e.g. the version-resolution query
+            is a broadcast join + broadcast anti-join at any corpus
+            size, no schema-side shuffle. MINUS compiles to LEFT ANTI
+            on the shared variables (SPARQL-correct: no shared
+            variables -> no-op). FILTER compiles to a Column predicate.
+
+RDF term typing rides along: a variable bound in object position
+carries a hidden `<var>__dt` column (None = IRI, '' = plain literal,
+else datatype IRI — the emit model, kgforge/triples/emit.py:168-186).
+Join compatibility and MINUS compatibility include the datatype; a
+variable that also appears in subject/predicate position anywhere in
+the query is IRI-only, so its object bindings are filtered to
+`obj_dt IS NULL` in-plan instead of carrying a shadow column.
+
+SELECT returns the lexical values (one column per variable, SPARQL
+projection order). CONSTRUCT/INSERT return a deduped
+(subj, pred, obj, obj_dt) triple DataFrame; `insert()` unions it back
+into the source table.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+RDF_TYPE = RDF_NS + "type"
+
+#: patterns with these constant predicates match grammar-sized schema
+#: triple sets -> safe to broadcast (see kgforge/rdfs.py docstring)
+SCHEMA_PREDS = frozenset(
+    RDFS_NS + local for local in ("subClassOf", "subPropertyOf", "domain", "range")
+)
+
+TRIPLE_FIELDS = ["subj", "pred", "obj", "obj_dt"]
+
+
+# --------------------------------------------------------------------
+# terms / AST
+# --------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: str
+    dt: str | None = None  # None -> plain literal (obj_dt '')
+
+
+Term = Var | Iri | Lit
+
+
+@dataclass
+class Group:
+    patterns: list[tuple[Term, Term, Term]] = field(default_factory=list)
+    filters: list["Expr"] = field(default_factory=list)
+    minuses: list["Group"] = field(default_factory=list)
+
+    def all_vars(self) -> list[str]:
+        """Variables of this group's own patterns, first-seen order."""
+        out: list[str] = []
+        for s, p, o in self.patterns:
+            for t in (s, p, o):
+                if isinstance(t, Var) and t.name not in out:
+                    out.append(t.name)
+        return out
+
+
+@dataclass
+class Query:
+    form: str  # "select" | "construct"
+    group: Group
+    select_vars: list[str] | None = None  # None -> SELECT *
+    distinct: bool = False
+    template: list[tuple[Term, Term, Term]] | None = None
+
+
+# filter expression AST
+@dataclass(frozen=True)
+class Cmp:
+    op: str
+    left: Term | float
+    right: Term | float
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    op: str  # "and" | "or"
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    arg: object
+
+
+Expr = Cmp | BoolOp | Not
+
+
+# --------------------------------------------------------------------
+# tokenizer / parser
+# --------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+      \s+ | \#[^\n]*                              # skip space + comments
+    | (?P<iri><[^<>\s]*>)
+    | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<lit>"(?:[^"\\]|\\.)*")
+    | (?P<dtsep>\^\^)
+    | (?P<num>[+-]?\d+(?:\.\d+)?)
+    | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<plocal>[A-Za-z0-9_.%-]*)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "prefix", "select", "construct", "insert", "where", "distinct",
+    "minus", "filter", "optional", "union", "a",
+}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"SPARQL tokenizer stuck at {text[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.lastgroup is None or m.group().strip() == "" or m.group().startswith("#"):
+            if m.group("plocal") is None and m.group("iri") is None:
+                continue
+        if m.group("iri"):
+            out.append(("iri", m.group("iri")[1:-1]))
+        elif m.group("var"):
+            out.append(("var", m.group("var")[1:]))
+        elif m.group("lit"):
+            raw = m.group("lit")[1:-1]
+            out.append(("lit", raw.replace('\\"', '"').replace("\\\\", "\\")))
+        elif m.group("dtsep"):
+            out.append(("op", "^^"))
+        elif m.group("num"):
+            out.append(("num", m.group("num")))
+        elif m.group("plocal") is not None:
+            out.append(("pname", f"{m.group('pname') or ''}:{m.group('plocal')}"))
+        elif m.group("word"):
+            w = m.group("word")
+            out.append(("kw", w.lower()) if w.lower() in _KEYWORDS else ("word", w))
+        else:
+            out.append(("op", m.group("op")))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers -------------------------------------------------
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"expected {val or kind}, got {k}:{v!r}")
+        return v
+
+    def at(self, kind: str, val: str | None = None) -> bool:
+        k, v = self.peek()
+        return k == kind and (val is None or v == val)
+
+    # -- grammar -------------------------------------------------------
+    def parse(self) -> Query:
+        while self.at("kw", "prefix"):
+            self.next()
+            pfx = self.expect("pname")
+            if not pfx.endswith(":"):
+                pfx = pfx.split(":")[0] + ":"
+            ns = self.expect("iri")
+            self.prefixes[pfx[:-1]] = ns
+        if self.at("kw", "select"):
+            return self._select()
+        if self.at("kw", "construct") or self.at("kw", "insert"):
+            return self._construct()
+        raise ValueError(f"expected SELECT/CONSTRUCT/INSERT, got {self.peek()}")
+
+    def _select(self) -> Query:
+        self.expect("kw", "select")
+        distinct = False
+        if self.at("kw", "distinct"):
+            self.next()
+            distinct = True
+        sel: list[str] | None
+        if self.at("op", "*"):
+            self.next()
+            sel = None
+        else:
+            sel = []
+            while self.at("var"):
+                sel.append(self.next()[1])
+            if not sel:
+                raise ValueError("SELECT needs ?vars or *")
+        if self.at("kw", "where"):
+            self.next()
+        group = self._group()
+        return Query("select", group, select_vars=sel, distinct=distinct)
+
+    def _construct(self) -> Query:
+        self.next()  # construct | insert
+        self.expect("op", "{")
+        template = self._triples_until_close()
+        self.expect("kw", "where")
+        group = self._group()
+        return Query("construct", group, template=template)
+
+    def _group(self) -> Group:
+        self.expect("op", "{")
+        g = Group()
+        while not self.at("op", "}"):
+            if self.at("kw", "minus"):
+                self.next()
+                g.minuses.append(self._group())
+            elif self.at("kw", "filter"):
+                self.next()
+                self.expect("op", "(")
+                g.filters.append(self._expr())
+                self.expect("op", ")")
+            elif self.at("op", "{"):
+                # nested group graph pattern with no UNION == merge
+                inner = self._group()
+                g.patterns += inner.patterns
+                g.filters += inner.filters
+                g.minuses += inner.minuses
+            elif self.at("op", "."):
+                self.next()
+            elif self.at("kw", "optional") or self.at("kw", "union"):
+                raise ValueError(f"{self.peek()[1].upper()} not supported")
+            else:
+                self._triple_lists(g.patterns)
+        self.expect("op", "}")
+        return g
+
+    def _triples_until_close(self) -> list[tuple[Term, Term, Term]]:
+        pats: list[tuple[Term, Term, Term]] = []
+        while not self.at("op", "}"):
+            if self.at("op", "."):
+                self.next()
+                continue
+            self._triple_lists(pats)
+        self.expect("op", "}")
+        return pats
+
+    def _triple_lists(self, out: list[tuple[Term, Term, Term]]) -> None:
+        """subject pred obj (',' obj)* (';' pred obj ...)*"""
+        s = self._term()
+        while True:
+            p = self._term(pred=True)
+            while True:
+                o = self._term()
+                out.append((s, p, o))
+                if self.at("op", ","):
+                    self.next()
+                    continue
+                break
+            if self.at("op", ";"):
+                self.next()
+                if self.at("op", ".") or self.at("op", "}"):
+                    break
+                continue
+            break
+
+    def _term(self, pred: bool = False) -> Term:
+        k, v = self.next()
+        if k == "var":
+            return Var(v)
+        if k == "iri":
+            return Iri(v)
+        if k == "kw" and v == "a" and pred:
+            return Iri(RDF_TYPE)
+        if k == "pname":
+            return Iri(self._expand(v))
+        if k == "lit":
+            if self.at("op", "^^"):
+                self.next()
+                dk, dv = self.next()
+                if dk == "iri":
+                    return Lit(v, dv)
+                if dk == "pname":
+                    return Lit(v, self._expand(dv))
+                raise ValueError(f"bad datatype token {dk}:{dv!r}")
+            return Lit(v)
+        raise ValueError(f"bad term {k}:{v!r}")
+
+    def _expand(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise ValueError(f"undeclared prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    # -- filter expressions --------------------------------------------
+    def _expr(self) -> Expr:
+        e = self._and()
+        while self.at("op", "||"):
+            self.next()
+            e = BoolOp("or", (e, self._and()))
+        return e
+
+    def _and(self) -> Expr:
+        e = self._unary()
+        while self.at("op", "&&"):
+            self.next()
+            e = BoolOp("and", (e, self._unary()))
+        return e
+
+    def _unary(self) -> Expr:
+        if self.at("op", "!"):
+            self.next()
+            return Not(self._unary())
+        if self.at("op", "("):
+            self.next()
+            e = self._expr()
+            self.expect("op", ")")
+            return e
+        left = self._operand()
+        k, v = self.peek()
+        if k == "op" and v in ("!=", "=", "<", "<=", ">", ">="):
+            self.next()
+            return Cmp(v, left, self._operand())
+        raise ValueError("bare term is not a boolean filter")
+
+    def _operand(self) -> Term | float:
+        k, v = self.next()
+        if k == "var":
+            return Var(v)
+        if k == "iri":
+            return Iri(v)
+        if k == "pname":
+            return Iri(self._expand(v))
+        if k == "lit":
+            return Lit(v)
+        if k == "num":
+            return float(v)
+        raise ValueError(f"bad filter operand {k}:{v!r}")
+
+
+def parse(query: str) -> Query:
+    return _Parser(query).parse()
+
+
+# --------------------------------------------------------------------
+# compiler
+# --------------------------------------------------------------------
+
+
+def _dt_shadow(var: str) -> str:
+    return f"__dt_{var}"
+
+
+def _iri_only_vars(g: Group) -> set[str]:
+    """Variables that appear in subject or predicate position anywhere
+    in the group (incl. MINUS blocks): always IRIs, no dt shadow."""
+    out: set[str] = set()
+    stack = [g]
+    while stack:
+        cur = stack.pop()
+        for s, p, _o in cur.patterns:
+            for t in (s, p):
+                if isinstance(t, Var):
+                    out.add(t.name)
+        stack.extend(cur.minuses)
+    return out
+
+
+def _compile_pattern(
+    triples: DataFrame,
+    pat: tuple[Term, Term, Term],
+    iri_only: set[str],
+) -> DataFrame:
+    s, p, o = pat
+    df = triples.select(*TRIPLE_FIELDS)
+    proj: dict[str, F.Column] = {}
+
+    def bind(term: Term, col: str, is_obj: bool) -> None:
+        nonlocal df
+        if isinstance(term, Var):
+            if term.name in proj:  # repeated var inside one pattern
+                df = df.filter(F.col(col) == proj[term.name])
+                return
+            proj[term.name] = F.col(col)
+            if is_obj:
+                if term.name in iri_only:
+                    df = df.filter(F.col("obj_dt").isNull())
+                else:
+                    proj[_dt_shadow(term.name)] = F.col("obj_dt")
+        elif isinstance(term, Iri):
+            df = df.filter(F.col(col) == term.value)
+            if is_obj:
+                df = df.filter(F.col("obj_dt").isNull())
+        else:  # Lit — only meaningful in object position
+            df = df.filter(F.col(col) == term.value)
+            if is_obj:
+                df = df.filter(F.col("obj_dt") == (term.dt if term.dt else ""))
+
+    bind(s, "subj", False)
+    bind(p, "pred", False)
+    bind(o, "obj", True)
+    out = df.select([expr.alias(name) for name, expr in proj.items()])
+    if isinstance(p, Iri) and p.value in SCHEMA_PREDS:
+        out = broadcast(out)
+    return out
+
+
+def _shared_keys(acc: DataFrame, pdf: DataFrame) -> list[str]:
+    # dt shadows join too when BOTH sides carry them (term equality
+    # includes the datatype); a side that lacks the shadow bound the
+    # var in subj/pred position -> handled by the iri_only filter
+    both = set(acc.columns) & set(pdf.columns)
+    return sorted(c for c in both if not c.startswith("__dt_")) + sorted(
+        c for c in both if c.startswith("__dt_")
+    )
+
+
+def _null_safe_cond(keys: list[str]) -> F.Column:
+    # a dt shadow is NULL for IRI bindings, so key equality must be
+    # null-safe (<=>) or IRI == IRI never matches
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"_l.{k}").eqNullSafe(F.col(f"_r.{k}"))
+    return cond
+
+
+def _join_step(acc: DataFrame | None, pdf: DataFrame) -> DataFrame:
+    if acc is None:
+        return pdf
+    keys = _shared_keys(acc, pdf)
+    if not keys:
+        return acc.crossJoin(pdf)
+    joined = acc.alias("_l").join(pdf.alias("_r"), _null_safe_cond(keys), "inner")
+    keep = [F.col(f"_l.{c}").alias(c) for c in acc.columns] + [
+        F.col(f"_r.{c}").alias(c) for c in pdf.columns if c not in set(acc.columns)
+    ]
+    return joined.select(keep)
+
+
+def _compile_group(triples: DataFrame, g: Group, iri_only: set[str]) -> DataFrame:
+    if not g.patterns:
+        raise ValueError("empty group graph pattern")
+    acc: DataFrame | None = None
+    for pat in g.patterns:
+        acc = _join_step(acc, _compile_pattern(triples, pat, iri_only))
+    assert acc is not None
+    for m in g.minuses:
+        mdf = _compile_group(triples, m, iri_only)
+        shared = _shared_keys(acc, mdf)
+        if shared:  # SPARQL MINUS with disjoint domains is a no-op
+            acc = (
+                acc.alias("_l")
+                .join(
+                    broadcast_if_schema_only(m, mdf.select(shared)).alias("_r"),
+                    _null_safe_cond(shared),
+                    "left_anti",
+                )
+            )
+    for f_expr in g.filters:
+        acc = acc.filter(_compile_expr(f_expr))
+    return acc
+
+
+def broadcast_if_schema_only(g: Group, mdf: DataFrame) -> DataFrame:
+    """Broadcast a MINUS side iff every pattern in it is schema-bound
+    (constant schema predicate) or joins to one — heuristic: all
+    constant predicates and at least one schema predicate."""
+    preds = [p for _s, p, _o in g.patterns if isinstance(p, Iri)]
+    if len(preds) == len(g.patterns) and any(p.value in SCHEMA_PREDS for p in preds):
+        return broadcast(mdf)
+    return mdf
+
+
+def _operand_col(x: Term | float) -> F.Column:
+    if isinstance(x, Var):
+        return F.col(x.name)
+    if isinstance(x, Iri):
+        return F.lit(x.value)
+    if isinstance(x, Lit):
+        return F.lit(x.value)
+    return F.lit(x)  # number
+
+
+def _compile_expr(e: Expr) -> F.Column:
+    if isinstance(e, Cmp):
+        lhs, rhs = _operand_col(e.left), _operand_col(e.right)
+        if isinstance(e.left, float) or isinstance(e.right, float):
+            lhs, rhs = lhs.cast("double"), rhs.cast("double")
+        ops = {
+            "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+            "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+        }
+        return ops[e.op]
+    if isinstance(e, BoolOp):
+        a, b = (_compile_expr(x) for x in e.args)
+        return (a & b) if e.op == "and" else (a | b)
+    if isinstance(e, Not):
+        return ~_compile_expr(e.arg)
+    raise ValueError(f"unknown expr {e!r}")
+
+
+# --------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------
+
+
+def sparql(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL query (see module docstring for the subset) over a
+    (subj, pred, obj, obj_dt) triple table.
+
+    SELECT -> one column per projected variable (lexical values).
+    CONSTRUCT / INSERT -> a deduped triple DataFrame (for INSERT, pass
+    the result to `insert()` to union it back into the table).
+    """
+    q = parse(query)
+    iri_only = _iri_only_vars(q.group)
+    if q.template:
+        for s, p, o in q.template:
+            for t in (s, p):
+                if isinstance(t, Var):
+                    iri_only.add(t.name)
+    bound = _compile_group(triples, q.group, iri_only)
+
+    if q.form == "select":
+        out_vars = q.select_vars
+        if out_vars is None:
+            out_vars = [c for c in bound.columns if not c.startswith("__dt_")]
+        missing = [v for v in out_vars if v not in bound.columns]
+        if missing:
+            raise ValueError(f"SELECT of unbound variable(s) {missing}")
+        out = bound.select(*out_vars)
+        return out.distinct() if q.distinct else out
+
+    # CONSTRUCT: instantiate the template per binding row, union, dedup
+    assert q.template, "CONSTRUCT requires a template"
+    null_dt = F.lit(None).cast("string")
+    parts: list[DataFrame] = []
+    for s, p, o in q.template:
+
+        def val(term: Term) -> F.Column:
+            if isinstance(term, Var):
+                if term.name not in bound.columns:
+                    raise ValueError(f"template var ?{term.name} unbound")
+                return F.col(term.name)
+            if isinstance(term, Iri):
+                return F.lit(term.value)
+            return F.lit(term.value)
+
+        if isinstance(o, Var) and _dt_shadow(o.name) in bound.columns:
+            o_dt = F.col(_dt_shadow(o.name))
+        elif isinstance(o, Lit):
+            o_dt = F.lit(o.dt if o.dt else "")
+        else:
+            o_dt = null_dt
+        parts.append(
+            bound.select(
+                val(s).alias("subj"),
+                val(p).alias("pred"),
+                val(o).alias("obj"),
+                o_dt.alias("obj_dt"),
+            )
+        )
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out.dropDuplicates(TRIPLE_FIELDS)
+
+
+def insert(triples: DataFrame, query: str) -> DataFrame:
+    """INSERT { template } WHERE { ... }: the source table plus the
+    constructed triples, globally deduped (one shuffle on the full
+    triple key — same shape as the orchestrator's A4 dedup)."""
+    derived = sparql(triples, query)
+    return (
+        triples.select(*TRIPLE_FIELDS)
+        .unionByName(derived)
+        .dropDuplicates(TRIPLE_FIELDS)
+    )

@@ -1,0 +1,263 @@
+"""Mini-SPARQL compiler: the reference's consumption queries
+(csv2rdf-v4/jena/requests.sparql) against the triple table, plus the
+term-typing / MINUS / FILTER edge cases of the subset."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgforge.sparql import Iri, Lit, Var, insert, parse, sparql
+
+NS = "https://www.olivier.com/rdf/mipl/"
+NSV1 = "https://www.olivier.com/rdf/mipl/v01/"
+NSV2 = "https://www.olivier.com/rdf/mipl/v02/"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+PREFIXES = f"""
+PREFIX rdf: <{RDF}>
+PREFIX rdfs: <{RDFS}>
+prefix ns1: <{NS}>
+prefix ns1v1: <{NSV1}>
+prefix ns1v2: <{NSV2}>
+"""
+
+#: the reference's versioned fixture, csv2rdf-v4/jena/test-version.ttl
+#: (part12 linked to variantA in v01; to variantA AND variantB in v02)
+VERSION_ROWS = [
+    (NS + "PNR", RDF + "type", RDFS + "Class", None),
+    (NS + "Variant", RDF + "type", RDFS + "Class", None),
+    (NS + "part12", RDF + "type", NS + "PNR", None),
+    (NS + "variantA", RDF + "type", NS + "Variant", None),
+    (NS + "variantB", RDF + "type", NS + "Variant", None),
+    (NS + "applicable_to", RDF + "type", RDF + "Property", None),
+    (NSV1 + "applicable_to", RDF + "type", RDF + "Property", None),
+    (NSV1 + "applicable_to", RDFS + "subPropertyOf", NS + "applicable_to", None),
+    (NS + "part12", NSV1 + "applicable_to", NS + "variantA", None),
+    (NSV2 + "applicable_to", RDF + "type", RDF + "Property", None),
+    (NSV2 + "applicable_to", RDFS + "subPropertyOf", NS + "applicable_to", None),
+    (NS + "part12", NSV2 + "applicable_to", NS + "variantA", None),
+    (NS + "part12", NSV2 + "applicable_to", NS + "variantB", None),
+]
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_dt string"
+    )
+
+
+def test_bgp_dump_select_star(spark):
+    """requests.sparql:7 — select ?x ?y ?z where {?x ?y ?z}."""
+    df = _triples(spark, VERSION_ROWS)
+    got = sparql(df, PREFIXES + "select ?x ?y ?z where {?x ?y ?z}")
+    assert got.columns == ["x", "y", "z"]
+    assert {(r.x, r.y, r.z) for r in got.collect()} == {
+        (s, p, o) for s, p, o, _ in VERSION_ROWS
+    }
+
+
+def test_version_resolution_minus_filter(spark):
+    """requests.sparql:22-31 — latest version wins: (part12, variantA)
+    is already stated by v01, so only the v02-only (part12, variantB)
+    pair survives the MINUS."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """
+    SELECT distinct ?x ?z
+    WHERE
+    {
+        ?x ns1v2:applicable_to ?z .
+        MINUS {
+            ?x ?r1 ?z .
+            ?r1 rdfs:subPropertyOf ns1:applicable_to .
+            filter(?r1 != ns1v2:applicable_to)
+        }
+    }
+    """
+    got = {(r.x, r.z) for r in sparql(df, q).collect()}
+    assert got == {(NS + "part12", NS + "variantB")}
+
+
+def test_construct_subproperty_inference(spark):
+    """requests.sparql:9-12 — CONSTRUCT {?x ?r ?y} WHERE {?x ?q ?y .
+    ?q rdfs:subPropertyOf ?r}: both versioned links lift to the mother
+    property."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + "CONSTRUCT {?x ?r ?y .} WHERE {?x ?q ?y . ?q rdfs:subPropertyOf ?r }"
+    got = sparql(df, q)
+    assert got.columns == ["subj", "pred", "obj", "obj_dt"]
+    assert {(r.subj, r.pred, r.obj, r.obj_dt) for r in got.collect()} == {
+        (NS + "part12", NS + "applicable_to", NS + "variantA", None),
+        (NS + "part12", NS + "applicable_to", NS + "variantB", None),
+    }
+
+
+def test_insert_unions_and_dedups(spark):
+    """requests.sparql:15-19 — INSERT adds the inferred triples to the
+    store; re-running is idempotent (set semantics)."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + "INSERT { ?x ?r ?y . } where { { ?x ?q ?y . ?q rdfs:subPropertyOf ?r . } }"
+    once = insert(df, q)
+    assert once.count() == len(VERSION_ROWS) + 2
+    twice = insert(once, q)
+    assert twice.count() == once.count()
+
+
+def test_a_keyword_and_pname_and_iri_terms(spark):
+    df = _triples(spark, VERSION_ROWS)
+    got = sparql(df, PREFIXES + "SELECT ?v WHERE { ?v a ns1:Variant }")
+    assert {r.v for r in got.collect()} == {NS + "variantA", NS + "variantB"}
+    got2 = sparql(df, f"SELECT ?v WHERE {{ ?v <{RDF}type> <{NS}Variant> }}")
+    assert {r.v for r in got2.collect()} == {NS + "variantA", NS + "variantB"}
+
+
+def test_object_list_and_predicate_list(spark):
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """SELECT ?x WHERE {
+        ?x ns1v2:applicable_to ns1:variantA , ns1:variantB ;
+           a ns1:PNR .
+    }"""
+    assert {r.x for r in sparql(df, q).collect()} == {NS + "part12"}
+
+
+def test_literal_typing_matches_term_not_just_lexical(spark):
+    rows = [
+        ("s1", "p", "5", ""),  # plain literal
+        ("s2", "p", "5", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("s3", "p", "5", None),  # IRI named "5"
+    ]
+    df = _triples(spark, rows)
+    q1 = 'SELECT ?s WHERE { ?s <p> "5" }'
+    assert {r.s for r in sparql(df, q1).collect()} == {"s1"}
+    q2 = (
+        'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+        'SELECT ?s WHERE { ?s <p> "5"^^xsd:integer }'
+    )
+    assert {r.s for r in sparql(df, q2).collect()} == {"s2"}
+
+
+def test_shared_var_join_includes_datatype(spark):
+    """?v bound in object position twice: term equality includes the
+    datatype, so the plain-literal "5" never joins the typed "5"."""
+    rows = [
+        ("a", "p1", "5", ""),
+        ("a", "p2", "5", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("b", "p1", "7", ""),
+        ("b", "p2", "7", ""),
+    ]
+    df = _triples(spark, rows)
+    got = sparql(df, "SELECT ?s ?v WHERE { ?s <p1> ?v . ?s <p2> ?v }")
+    assert {(r.s, r.v) for r in got.collect()} == {("b", "7")}
+
+
+def test_shared_object_var_joins_iri_bindings(spark):
+    """Two patterns share ?c bound to IRIs (dt shadow NULL on both
+    sides): the join must be null-safe or nothing ever matches."""
+    rows = [
+        ("a", "knows", "c1", None),
+        ("b", "likes", "c1", None),
+        ("b", "likes", "c2", None),
+    ]
+    df = _triples(spark, rows)
+    got = sparql(df, "SELECT ?x ?y ?c WHERE { ?x <knows> ?c . ?y <likes> ?c }")
+    assert {(r.x, r.y, r.c) for r in got.collect()} == {("a", "b", "c1")}
+
+
+def test_var_in_subject_position_forces_iri_object_binding(spark):
+    """?z appears as a subject elsewhere -> its object bindings must be
+    IRIs (literals filtered in-plan, no dt shadow)."""
+    rows = [
+        ("a", "knows", "b", None),
+        ("a", "knows", "just a string", ""),
+        ("b", "age", "30", ""),
+    ]
+    df = _triples(spark, rows)
+    got = sparql(df, "SELECT ?z WHERE { <a> <knows> ?z . ?z <age> ?age }")
+    assert {r.z for r in got.collect()} == {"b"}
+
+
+def test_minus_no_shared_vars_is_noop(spark):
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """SELECT ?v WHERE {
+        ?v a ns1:Variant .
+        MINUS { ?other a ns1:PNR }
+    }"""
+    assert {r.v for r in sparql(df, q).collect()} == {
+        NS + "variantA",
+        NS + "variantB",
+    }
+
+
+def test_filter_numeric_and_boolean_ops(spark):
+    rows = [
+        ("a", "age", "30", ""),
+        ("b", "age", "7", ""),
+        ("c", "age", "100", ""),
+    ]
+    df = _triples(spark, rows)
+    got = sparql(df, "SELECT ?s WHERE { ?s <age> ?x . FILTER(?x > 7 && !(?x >= 100)) }")
+    assert {r.s for r in got.collect()} == {"a"}
+    got2 = sparql(df, "SELECT ?s WHERE { ?s <age> ?x . FILTER(?x = 7 || ?x = 100) }")
+    assert {r.s for r in got2.collect()} == {"b", "c"}
+
+
+def test_repeated_var_within_one_pattern(spark):
+    rows = [("a", "sameAs", "a", None), ("a", "sameAs", "b", None)]
+    df = _triples(spark, rows)
+    got = sparql(df, "SELECT ?x WHERE { ?x <sameAs> ?x }")
+    assert {r.x for r in got.collect()} == {"a"}
+
+
+def test_cross_join_when_patterns_share_nothing(spark):
+    rows = [("a", "p", "1", ""), ("b", "q", "2", "")]
+    df = _triples(spark, rows)
+    got = sparql(df, "SELECT ?x ?y WHERE { ?x <p> ?o1 . ?y <q> ?o2 }")
+    assert {(r.x, r.y) for r in got.collect()} == {("a", "b")}
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="OPTIONAL not supported"):
+        parse("SELECT ?x WHERE { OPTIONAL { ?x <p> ?y } }")
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        parse("SELECT ?x WHERE { ?x foo:bar ?y }")
+    with pytest.raises(ValueError, match="SELECT needs"):
+        parse("SELECT WHERE { ?x <p> ?y }")
+
+
+def test_select_unbound_var_raises(spark):
+    df = _triples(spark, VERSION_ROWS)
+    with pytest.raises(ValueError, match="unbound"):
+        sparql(df, "SELECT ?nope WHERE { ?x <p> ?y }").collect()
+
+
+def test_parse_reference_request_file_verbatim():
+    """Every query block in csv2rdf-v4/jena/requests.sparql parses
+    (the INSERT block's nested group included)."""
+    ref = PREFIXES
+    blocks = [
+        "select ?x ?y ?z where {?x ?y ?z}",
+        "CONSTRUCT {?x ?r ?y .}\nWHERE {?x ?q ?y .\n?q rdfs:subPropertyOf ?r }",
+        "INSERT { ?x ?r ?y . }\n  where {\n  { ?x ?q ?y .\n  ?q rdfs:subPropertyOf ?r . }\n}",
+        """SELECT distinct ?x ?z
+WHERE
+{
+\t?x ns1v2:applicable_to ?z .
+\tMINUS {
+\t\t?x ?r1 ?z .
+\t\t?r1 rdfs:subPropertyOf ns1:applicable_to .
+\t\tfilter(?r1 != ns1v2:applicable_to)
+\t}
+}""",
+    ]
+    for b in blocks:
+        q = parse(ref + b)
+        assert q.form in ("select", "construct")
+
+
+def test_ast_term_kinds():
+    q = parse(
+        'PREFIX x: <http://x/> SELECT ?a WHERE { ?a x:p "lit" . ?a <http://x/q> ?b }'
+    )
+    (s1, p1, o1), (s2, p2, o2) = q.group.patterns
+    assert s1 == Var("a") and p1 == Iri("http://x/p") and o1 == Lit("lit")
+    assert p2 == Iri("http://x/q") and o2 == Var("b")

@@ -42,7 +42,13 @@ def value_hash(rows: list[tuple], columns: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from kgforge.session import get_spark
 
@@ -57,6 +63,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = sdf.columns
