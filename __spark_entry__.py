@@ -211,11 +211,13 @@ def q_ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH ANN probing a MATERIALIZED index
     partitioned by (tbl, bucket) — the probe's isin lands on the
-    partition column, so the scan itself prunes (rows-only; recall vs
-    brute force is gated in tests/test_textops.py). The cached index
-    is keyed by a CONTENT fingerprint recorded in the index manifest:
-    regenerated data under the same sf-dir name forces a rebuild
-    instead of silently probing a stale index."""
+    partition column, so the scan itself prunes. Fully DuckDB-oracled
+    (_ann_topk_lsh_sql replicates planes, buckets, the multiprobe
+    hamming<=1 candidate set, and the exact-cosine top-k); recall vs
+    brute force is additionally gated in tests/test_textops.py. The
+    cached index is keyed by a CONTENT fingerprint recorded in the
+    index manifest: regenerated data under the same sf-dir name forces
+    a rebuild instead of silently probing a stale index."""
     import os
 
     from kgforge.textops.similarity import (
@@ -771,6 +773,63 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 )
 
+def _ann_topk_lsh_sql(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 4, seed: int = 42, k: int = 20
+) -> str:
+    """Materialized-index ANN probe oracle (upgrades ann_topk_lsh from
+    rows-only): replicates build_ann_index + ann_index_topk defaults —
+    the same driver-seeded hyperplanes inlined as VALUES, per-table
+    sign buckets for every vector AND the query (vec_id=0), candidates
+    = hamming(bucket, query bucket) <= 1 per table (exactly the
+    multiprobe_bits=1 probe set), exact cosine on survivors, top-k by
+    (score DESC, vec_id ASC). The same near-zero-dot float caveat as
+    _emb_near_dups_sql applies."""
+    from kgforge.textops.similarity import hyperplanes
+
+    vals = ",".join(
+        f"({t},{j},{i + 1},{w!r})"
+        for t in range(n_tables)
+        for j, plane in enumerate(hyperplanes(dim, n_planes, seed + 1000 * t))
+        for i, w in enumerate(plane)
+    )
+    return f"""
+        WITH emb2 AS (
+          SELECT CAST(vec_id AS BIGINT) AS id,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ),
+        planes(t, j, i, w) AS (VALUES {vals}),
+        elems AS (
+          SELECT id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+          FROM emb2
+        ),
+        dots AS (
+          SELECT e.id, p.t, p.j, SUM(e.x * p.w) AS dot
+          FROM elems e JOIN planes p USING (i)
+          GROUP BY e.id, p.t, p.j
+        ),
+        buckets AS (
+          SELECT id, t,
+                 CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+                   AS bucket
+          FROM dots GROUP BY id, t
+        ),
+        qbuck AS (SELECT t, bucket FROM buckets WHERE id = 0),
+        cand AS (
+          SELECT DISTINCT b.id
+          FROM buckets b
+          JOIN qbuck q ON b.t = q.t
+           AND bit_count(xor(b.bucket, q.bucket)) <= 1
+        ),
+        qv AS (SELECT v FROM emb2 WHERE id = 0)
+        SELECT c.id AS vec_id,
+               ROUND(list_cosine_similarity(e.v, (SELECT v FROM qv)), 6) AS score
+        FROM cand c JOIN emb2 e ON e.id = c.id
+        ORDER BY score DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _emb_near_dups_sql(dim: int = 64, n_planes: int = 10, n_tables: int = 3, seed: int = 42) -> str:
     """Sign-bucket LSH near-dup oracle: the SAME driver-seeded
     hyperplanes the Spark path uses (kgforge.textops.similarity.
@@ -898,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "emb_near_dups": _emb_near_dups_sql(),
+        "ann_topk_lsh": _ann_topk_lsh_sql(),
         "ann_topk_brute": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)
