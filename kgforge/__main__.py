@@ -11,6 +11,14 @@ Extensions over the reference CLI (documented, all optional):
                        bucketed triple-table layout, kgforge.io.write)
   --out DIR            output directory (default: cwd)
   --master URL         Spark master (default: local[$SPARK_GRAFT_CPUS])
+  --sparql FILE --triples PATH
+                       query mode instead of conversion: run a SPARQL
+                       file (kgforge.sparql subset — the reference's
+                       jena/requests.sparql queries) against a
+                       materialized triple table; SELECT prints TSV to
+                       stdout, CONSTRUCT/INSERT prints N-Triples. This
+                       replaces the reference's manual Jena-endpoint
+                       step (csv2rdf-v4/jena/).
 """
 
 from __future__ import annotations
@@ -26,14 +34,21 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="kgforge", description="Declarative CSV/web → RDF triple engine"
     )
-    ap.add_argument("-c", "--conf", required=True, help="options .ini file")
+    ap.add_argument("-c", "--conf", help="options .ini file")
     ap.add_argument("--mode", choices=("per_source", "shared"), default="per_source")
     ap.add_argument(
         "--format", choices=("turtle", "ntriples", "parquet"), default="turtle"
     )
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--sparql", help="SPARQL query file (query mode)")
+    ap.add_argument("--triples", help="triple-table parquet path (query mode)")
     args = ap.parse_args(argv)
+    if args.sparql:
+        if not args.triples:
+            ap.error("--sparql requires --triples")
+    elif not args.conf:
+        ap.error("one of -c/--conf (convert) or --sparql (query) is required")
 
     from kgforge.io.fs import collapse_to_file
     from kgforge.io.write import dump_turtle, to_ntriples_lines, write_triples
@@ -41,6 +56,22 @@ def main(argv: list[str] | None = None) -> int:
     from kgforge.session import get_spark
 
     spark = get_spark(app_name="kgforge-cli", master=args.master)
+
+    if args.sparql:
+        from kgforge.sparql import TRIPLE_FIELDS, sparql
+
+        with open(args.sparql, encoding="utf-8") as f:
+            qtext = f.read()
+        triples = spark.read.parquet(args.triples).select(*TRIPLE_FIELDS)
+        result = sparql(triples, qtext)
+        if result.columns == TRIPLE_FIELDS:  # CONSTRUCT / INSERT form
+            for r in to_ntriples_lines(result).sort("line").collect():
+                print(r.line)
+        else:
+            print("\t".join(result.columns))
+            for r in result.collect():
+                print("\t".join("" if v is None else str(v) for v in r))
+        return 0
     os.makedirs(args.out, exist_ok=True)
     results = run_config(spark, args.conf, mode=args.mode)
 

@@ -254,6 +254,45 @@ WHERE
         assert q.form in ("select", "construct")
 
 
+def test_cli_query_mode_select_and_construct(spark, tmp_path, capsys):
+    """`python -m kgforge --sparql q.rq --triples t/` — the CLI
+    replacement for the reference's manual Jena-endpoint step."""
+    from kgforge.__main__ import main
+    from kgforge.io.write import write_triples
+
+    tpath = str(tmp_path / "triples")
+    write_triples(_triples(spark, VERSION_ROWS), tpath, n_buckets=2)
+
+    qsel = tmp_path / "q_select.rq"
+    qsel.write_text(
+        PREFIXES + "SELECT distinct ?x ?z WHERE { ?x ns1v2:applicable_to ?z . "
+        "MINUS { ?x ?r1 ?z . ?r1 rdfs:subPropertyOf ns1:applicable_to . "
+        "filter(?r1 != ns1v2:applicable_to) } }"
+    )
+    assert main(["--sparql", str(qsel), "--triples", tpath]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "x\tz"
+    assert out[1:] == [f"{NS}part12\t{NS}variantB"]
+
+    qcon = tmp_path / "q_construct.rq"
+    qcon.write_text(
+        PREFIXES + "CONSTRUCT {?x ?r ?y .} WHERE {?x ?q ?y . ?q rdfs:subPropertyOf ?r }"
+    )
+    assert main(["--sparql", str(qcon), "--triples", tpath]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines == sorted(lines) and len(lines) == 2
+    assert all(l.startswith(f"<{NS}part12> <{NS}applicable_to> <") for l in lines)
+
+
+def test_cli_query_mode_arg_validation():
+    from kgforge.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["--sparql", "q.rq"])  # --triples missing
+    with pytest.raises(SystemExit):
+        main([])  # neither conversion nor query mode
+
+
 def test_ast_term_kinds():
     q = parse(
         'PREFIX x: <http://x/> SELECT ?a WHERE { ?a x:p "lit" . ?a <http://x/q> ?b }'
