@@ -177,7 +177,13 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         if m.group("iri"):
             out.append(("iri", m.group("iri")[1:-1]))
         elif m.group("var"):
-            out.append(("var", m.group("var")[1:]))
+            name = m.group("var")[1:]
+            if name.startswith("__dt_"):
+                raise ValueError(
+                    f"variable ?{name} collides with the internal "
+                    "datatype-shadow namespace (__dt_*)"
+                )
+            out.append(("var", name))
         elif m.group("lit"):
             raw = m.group("lit")[1:-1]
             out.append(("lit", raw.replace('\\"', '"').replace("\\\\", "\\")))

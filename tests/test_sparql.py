@@ -222,6 +222,8 @@ def test_parse_errors():
         parse("SELECT ?x WHERE { ?x foo:bar ?y }")
     with pytest.raises(ValueError, match="SELECT needs"):
         parse("SELECT WHERE { ?x <p> ?y }")
+    with pytest.raises(ValueError, match="shadow namespace"):
+        parse("SELECT ?__dt_x WHERE { ?__dt_x <p> ?y }")
 
 
 def test_select_unbound_var_raises(spark):
