@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgforge.contract import DOMAIN, load, stringify, table_melt_spec
+from kgforge.session import local_df
 from kgforge.mapping.spec import RDF_TYPE, RDFS_LABEL
 from kgforge.triples.emit import emit_triples, sanitize_expr
 
@@ -326,7 +327,9 @@ def q_kg_type_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _chain_v2(DOMAIN, ["nation", "place", "RDFS:RESOURCE"])
     )
     rows = [(s.value, p.value, o.value) for s, p, o in templates]
-    return spark.createDataFrame(rows, "subj string, pred string, obj string").dropDuplicates()
+    return local_df(
+        spark, rows, "subj string, pred string, obj string"
+    ).dropDuplicates()
 
 
 def q_kg_ontology_reqs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +354,7 @@ columntype = part_description
 """
     spec = compile_v5(DOMAIN, grammar, ["PNR", "SRV", "ADT"])
     rows = [(s,) for s in ontology_requirements(spec)]
-    return spark.createDataFrame(rows, "requirement string")
+    return local_df(spark, rows, "requirement string")
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,7 +423,8 @@ def q_kg_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         null_dt.alias("obj_dt"),
     )
-    schema = spark.createDataFrame(
+    schema = local_df(
+        spark,
         [
             (DOMAIN + "pnr", RDFS_SUBCLASSOF, DOMAIN + "part_ref", None),
             (DOMAIN + "part_ref", RDFS_SUBCLASSOF, DOMAIN + "asset", None),
@@ -515,7 +519,8 @@ def _sparql_version_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = link(
         _SPARQL_V1 + "applicable_to", brand, F.col("p_partkey") % 2 == 0
     )
-    schema = spark.createDataFrame(
+    schema = local_df(
+        spark,
         [
             (_SPARQL_V1 + "applicable_to", _SPARQL_SPO, _SPARQL_MOTHER, None),
             (_SPARQL_V2 + "applicable_to", _SPARQL_SPO, _SPARQL_MOTHER, None),

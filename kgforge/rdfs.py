@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from kgforge.session import local_df
+
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
 RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
@@ -44,16 +46,53 @@ RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
 
 TRIPLE_FIELDS = ["subj", "pred", "obj", "obj_dt"]
 
+SCHEMA_PREDS = (RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE)
+
+
+def closure_pairs(edges: list[tuple]) -> list[tuple]:
+    """Driver-side strict transitive closure of an edge list (DFS per
+    source; cycles close without self-loops). Deterministic order."""
+    adj: dict = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    out: list[tuple] = []
+    for s in sorted(adj):
+        seen: set = set()
+        stack = list(adj[s])
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            nxt = adj.get(d)
+            if nxt:
+                stack.extend(nxt)
+        seen.discard(s)
+        out.extend((s, d) for d in sorted(seen))
+    return out
+
 
 def transitive_closure(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    max_driver_edges: int = 200_000,
 ) -> DataFrame:
     """(src, dst) edge list → all strictly-reachable pairs (src, dst).
 
-    Iterative doubling: paths double in length per round, so a chain of
-    depth d closes in ⌈log2 d⌉ rounds. Inputs are schema hierarchies
-    (small by construction — see module docstring); localCheckpoint
-    cuts the loop's lineage exactly like web.canon's CC iteration.
+    Fast path: schema hierarchies are grammar-sized by construction
+    (module docstring), so when the deduped edge count is within
+    `max_driver_edges` the closure is computed on the driver (one
+    collect + per-source DFS) — one job instead of ~4 jobs per
+    doubling round. Same bounded-with-distributed-fallback pattern as
+    web.canon's union-find fast path.
+
+    Fallback (edge count above the bound, or `max_driver_edges=0`):
+    iterative doubling — paths double in length per round, so a chain
+    of depth d closes in ⌈log2 d⌉ rounds, with per-iteration
+    localCheckpoint cutting lineage exactly like web.canon's CC loop.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -75,6 +114,9 @@ def transitive_closure(
         # loop below would still cost 2 probe jobs + a join per
         # iteration before discovering there is nothing to close
         return e
+    if sig[0] <= max_driver_edges:
+        out = closure_pairs([(r.src, r.dst) for r in e.collect()])
+        return local_df(e.sparkSession, out, "src string, dst string")
     for _ in range(max_iter):
         hop = (
             e.alias("a")
@@ -98,6 +140,7 @@ def transitive_closure(
 def rdfs_closure(
     triples: DataFrame,
     include_input: bool = True,
+    max_driver_edges: int = 200_000,
 ) -> DataFrame:
     """Triple table → table with RDFS-inferred triples materialized.
 
@@ -110,20 +153,50 @@ def rdfs_closure(
     (csv2rdf-v3/csv2rdf-v3.py:386-398, csv2rdf-v5/csv2rdf-v5.py:
     321-340) that license exactly these. Output carries the core
     (subj, pred, obj, obj_dt) columns, deduped.
+
+    Execution shape: ONE bounded job collects all four schema edge
+    sets (they are grammar-sized by construction; `max_driver_edges`
+    guards the bound and falls back to fully-distributed filters +
+    iterative doubling beyond it); hierarchies close on the driver
+    and come back as local relations, so every inference join is a
+    broadcast of a local relation — no corpus scan is ever re-executed
+    just to build a broadcast side, and rdfs2+rdfs3 share one fused
+    join pass.
     """
     base = triples.select(*TRIPLE_FIELDS)
-
-    sco = transitive_closure(
-        base.filter(F.col("pred") == RDFS_SUBCLASSOF).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
-        )
-    )
-    spo = transitive_closure(
-        base.filter(F.col("pred") == RDFS_SUBPROPERTYOF).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
-        )
-    )
+    spark = base.sparkSession
     null_dt = F.lit(None).cast("string")
+    edge_schema = "src string, dst string"
+
+    schema_edges = base.filter(F.col("pred").isin(*SCHEMA_PREDS)).select(
+        "subj", "pred", "obj"
+    )
+    probe = schema_edges.groupBy().count().collect()
+    if probe[0][0] <= max_driver_edges:
+        rows = schema_edges.collect()  # one job, one scan
+
+        def _local(pred: str, close: bool) -> DataFrame:
+            pairs = [(r.subj, r.obj) for r in rows if r.pred == pred]
+            if close:
+                pairs = closure_pairs(pairs)
+            else:
+                pairs = sorted({(s, d) for s, d in pairs})
+            return local_df(spark, pairs, edge_schema)
+
+        sco = _local(RDFS_SUBCLASSOF, close=True)
+        spo = _local(RDFS_SUBPROPERTYOF, close=True)
+        dom = _local(RDFS_DOMAIN, close=False)
+        rng = _local(RDFS_RANGE, close=False)
+    else:  # schema bigger than the bound: stay fully distributed
+        def _dist(pred: str) -> DataFrame:
+            return base.filter(F.col("pred") == pred).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+
+        sco = transitive_closure(_dist(RDFS_SUBCLASSOF))
+        spo = transitive_closure(_dist(RDFS_SUBPROPERTYOF))
+        dom = _dist(RDFS_DOMAIN).distinct()
+        rng = _dist(RDFS_RANGE).distinct()
 
     # closed hierarchy edges as schema triples
     sco_triples = sco.select(
@@ -145,30 +218,25 @@ def rdfs_closure(
         .select("subj", F.col("dst").alias("pred"), "obj", "obj_dt")
     )
 
-    # rdfs2/rdfs3: domain/range entailment over base PLUS inherited
-    # predicates (p spo q ∧ q domain C must fire on instances of p).
-    # The domain/range edge sets are schema-sized — broadcast joins,
-    # shuffle-free at any corpus size.
+    # rdfs2/rdfs3 fused: domain/range entailment over base PLUS
+    # inherited predicates (p spo q ∧ q domain C must fire on
+    # instances of p), in ONE broadcast join — the side tag picks the
+    # subject (domain) or the IRI object (range) as the typed node
     props_all = base.unionByName(inherited_props)
-    dom = base.filter(F.col("pred") == RDFS_DOMAIN).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    dr = broadcast(
+        dom.withColumn("side", F.lit("d")).unionByName(
+            rng.withColumn("side", F.lit("r"))
+        )
     )
-    rng = base.filter(F.col("pred") == RDFS_RANGE).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
-    dom_types = props_all.join(broadcast(dom), F.col("pred") == F.col("src")).select(
-        "subj",
-        F.lit(RDF_TYPE).alias("pred"),
-        F.col("dst").alias("obj"),
-        null_dt.alias("obj_dt"),
-    )
-    # rdfs3 types the OBJECT node — only IRI objects (obj_dt null);
-    # literals (obj_dt '' or a datatype IRI) are never typed
-    rng_types = (
-        props_all.filter(F.col("obj_dt").isNull())
-        .join(broadcast(rng), F.col("pred") == F.col("src"))
+    dr_types = (
+        props_all.join(dr, F.col("pred") == F.col("src"))
+        # rdfs3 types the OBJECT node — only IRI objects (obj_dt
+        # null); literals (obj_dt '' or a datatype IRI) never typed
+        .filter((F.col("side") == "d") | F.col("obj_dt").isNull())
         .select(
-            F.col("obj").alias("subj"),
+            F.when(F.col("side") == "d", F.col("subj"))
+            .otherwise(F.col("obj"))
+            .alias("subj"),
             F.lit(RDF_TYPE).alias("pred"),
             F.col("dst").alias("obj"),
             null_dt.alias("obj_dt"),
@@ -180,8 +248,7 @@ def rdfs_closure(
     all_types = (
         base.filter(F.col("pred") == RDF_TYPE)
         .select(*TRIPLE_FIELDS)
-        .unionByName(dom_types)
-        .unionByName(rng_types)
+        .unionByName(dr_types)
     )
     inherited_types = all_types.join(
         broadcast(sco), F.col("obj") == F.col("src")
@@ -196,8 +263,7 @@ def rdfs_closure(
         sco_triples.unionByName(spo_triples)
         .unionByName(inherited_types)
         .unionByName(inherited_props)
-        .unionByName(dom_types)
-        .unionByName(rng_types)
+        .unionByName(dr_types)
     )
     out = base.unionByName(inferred) if include_input else inferred
     return out.dropDuplicates(TRIPLE_FIELDS)

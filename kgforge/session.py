@@ -65,3 +65,20 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark, rows, schema: str):
+    """Driver-small local relation as a TRUE LocalRelation.
+
+    `createDataFrame(list, schema)` goes through RDD parallelize and
+    materializes `spark.default.parallelism` (32) near-empty slices
+    that multiply through downstream unions into hundreds of no-op
+    tasks; the pandas path (Arrow) plans as a LocalRelation /
+    LocalTableScan — no job, no empty partitions. Use for
+    schema-sized data only (the rows live on the driver)."""
+    import pandas as pd
+
+    cols = [f.split(":")[0].strip() for f in schema.split(",")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows or None, columns=cols), schema
+    )

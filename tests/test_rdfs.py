@@ -37,6 +37,21 @@ def test_transitive_closure_chain_and_cycle(spark):
     }
 
 
+def test_transitive_closure_distributed_path_matches_driver(spark):
+    """max_driver_edges=0 forces the iterative-doubling fallback; it
+    must produce exactly the driver fast path's pair set."""
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("X", "Y"), ("Y", "X"), ("B", "E")],
+        "src string, dst string",
+    )
+    fast = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    dist = {
+        (r.src, r.dst)
+        for r in transitive_closure(edges, max_driver_edges=0).collect()
+    }
+    assert fast == dist and ("A", "E") in fast
+
+
 def test_rdfs_closure_type_and_property_inheritance(spark):
     rows = [
         ("c:A", RDFS_SUBCLASSOF, "c:B", None),
