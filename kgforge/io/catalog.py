@@ -27,6 +27,8 @@ from abc import ABC, abstractmethod
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kgforge.session import local_df
+
 
 class TripleSink(ABC):
     """Minimal storage contract for resumable bucketed triple writes."""
@@ -137,11 +139,9 @@ class ParquetLedgerSink(TripleSink):
     def commit(self, stage: str, lineage_rows: list[tuple]) -> None:
         from kgforge import lineage
 
-        self.spark.createDataFrame(
-            lineage_rows, self.LINEAGE_SCHEMA
-        ).coalesce(1).write.mode("append").parquet(
-            lineage._lineage_path(self.path)
-        )
+        local_df(self.spark, lineage_rows, self.LINEAGE_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(lineage._lineage_path(self.path))
 
 
 def _iceberg_runtime_available(spark: SparkSession) -> bool:
@@ -235,9 +235,9 @@ class IcebergSnapshotSink(TripleSink):
         )
 
     def commit(self, stage: str, lineage_rows: list[tuple]) -> None:
-        self.spark.createDataFrame(
-            lineage_rows, ParquetLedgerSink.LINEAGE_SCHEMA
-        ).writeTo(self._lineage_table).append()
+        local_df(
+            self.spark, lineage_rows, ParquetLedgerSink.LINEAGE_SCHEMA
+        ).coalesce(1).writeTo(self._lineage_table).append()
 
 
 def resolve_sink(

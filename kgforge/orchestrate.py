@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kgforge.session import local_df
 from kgforge.io.read import read_csv, read_csv_with_rowindex
 from kgforge.mapping.compile_ini import (
     compile_v234,
@@ -235,8 +236,8 @@ def run_sources(
         # single global dedup — the only multi-source shuffle
         out["__shared__"] = union.dropDuplicates(TRIPLE_FIELDS)
     if onto:
-        out["__ontology__"] = spark.createDataFrame(
-            [(s,) for s in onto], "requirement string"
+        out["__ontology__"] = local_df(
+            spark, [(s,) for s in onto], "requirement string"
         )
     return out
 

@@ -67,7 +67,7 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def local_df(spark, rows, schema: str):
+def local_df(spark, rows, schema):
     """Driver-small local relation as a TRUE LocalRelation.
 
     `createDataFrame(list, schema)` goes through RDD parallelize and
@@ -78,7 +78,10 @@ def local_df(spark, rows, schema: str):
     schema-sized data only (the rows live on the driver)."""
     import pandas as pd
 
-    cols = [f.split(":")[0].strip() for f in schema.split(",")]
+    if isinstance(schema, str):
+        cols = [f.split(":")[0].strip() for f in schema.split(",")]
+    else:  # StructType
+        cols = schema.fieldNames()
     return spark.createDataFrame(
         pd.DataFrame(rows or None, columns=cols), schema
     )
