@@ -367,8 +367,15 @@ def corpus_to_parquet(
         pq.write_table(table, os.path.join(path, f"part-{start:09d}.parquet"))
 
 
-def pages_dataframe(spark, corpus: Corpus):
+def pages_dataframe(spark, corpus: Corpus, num_partitions: int = 8):
+    """In-memory corpus → DataFrame (tests + contract query; the
+    bench-scale path is corpus_to_parquet). Goes through local_df
+    (Arrow LocalRelation) then repartitions to `num_partitions` real
+    partitions — createDataFrame(list) would plan 32 near-empty
+    slices that every downstream pipeline stage inherits."""
     from pyspark.sql import types as T
+
+    from kgforge.session import local_df
 
     schema = T.StructType(
         [
@@ -379,4 +386,4 @@ def pages_dataframe(spark, corpus: Corpus):
             T.StructField("lang", T.StringType(), False),
         ]
     )
-    return spark.createDataFrame(corpus.pages, schema)
+    return local_df(spark, corpus.pages, schema).repartition(num_partitions)
