@@ -114,6 +114,9 @@ class Query:
     select_vars: list[str] | None = None  # None -> SELECT *
     distinct: bool = False
     template: list[tuple[Term, Term, Term]] | None = None
+    order: list[tuple[str, bool]] | None = None  # (var, descending)
+    limit: int | None = None
+    offset: int | None = None
 
 
 # filter expression AST
@@ -160,6 +163,7 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "prefix", "select", "construct", "insert", "where", "distinct",
     "minus", "filter", "optional", "union", "a",
+    "order", "by", "asc", "desc", "limit", "offset",
 }
 
 
@@ -260,7 +264,37 @@ class _Parser:
         if self.at("kw", "where"):
             self.next()
         group = self._group()
-        return Query("select", group, select_vars=sel, distinct=distinct)
+        q = Query("select", group, select_vars=sel, distinct=distinct)
+        self._modifiers(q)
+        return q
+
+    def _modifiers(self, q: Query) -> None:
+        """ORDER BY (ASC(?v)|DESC(?v)|?v)+ / LIMIT n / OFFSET n."""
+        if self.at("kw", "order"):
+            self.next()
+            self.expect("kw", "by")
+            q.order = []
+            while True:
+                if self.at("kw", "asc") or self.at("kw", "desc"):
+                    desc = self.next()[1] == "desc"
+                    self.expect("op", "(")
+                    q.order.append((self.expect("var"), desc))
+                    self.expect("op", ")")
+                elif self.at("var"):
+                    q.order.append((self.next()[1], False))
+                else:
+                    break
+            if not q.order:
+                raise ValueError("ORDER BY needs at least one sort key")
+        while self.at("kw", "limit") or self.at("kw", "offset"):
+            kw = self.next()[1]
+            val = int(self.expect("num"))
+            if val < 0:
+                raise ValueError(f"{kw.upper()} must be non-negative")
+            if kw == "limit":
+                q.limit = val
+            else:
+                q.offset = val
 
     def _construct(self) -> Query:
         self.next()  # construct | insert
@@ -590,8 +624,34 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         missing = [v for v in out_vars if v not in bound.columns]
         if missing:
             raise ValueError(f"SELECT of unbound variable(s) {missing}")
-        out = bound.select(*out_vars)
-        return out.distinct() if q.distinct else out
+        def _order(df: DataFrame) -> DataFrame:
+            missing = [v for v, _ in q.order if v not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"ORDER BY on unavailable variable(s) {missing}"
+                    + (" (DISTINCT restricts sort keys to projected vars)"
+                       if q.distinct else "")
+                )
+            return df.orderBy(
+                *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order]
+            )
+
+        if q.distinct:
+            # spec: DISTINCT applies to the projected rows, and ORDER BY
+            # may then only use projected variables
+            out = bound.select(*out_vars).distinct()
+            if q.order:
+                out = _order(out)
+        else:
+            out = _order(bound) if q.order else bound
+            out = out.select(*out_vars)  # projection preserves sort order
+        if q.offset:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            # with an ORDER BY this plans as TakeOrderedAndProject —
+            # no global sort materialization, same shape as top-k
+            out = out.limit(q.limit)
+        return out
 
     # CONSTRUCT: instantiate the template per binding row, union, dedup
     assert q.template, "CONSTRUCT requires a template"

@@ -256,6 +256,23 @@ WHERE
         assert q.form in ("select", "construct")
 
 
+def test_order_by_limit_offset(spark):
+    rows = [(f"s{i}", "rank", str(i), "") for i in range(10)]
+    df = _triples(spark, rows)
+    q = "SELECT ?s ?r WHERE { ?s <rank> ?r } ORDER BY DESC(?r) LIMIT 3"
+    got = [(r.s, r.r) for r in sparql(df, q).collect()]
+    assert got == [("s9", "9"), ("s8", "8"), ("s7", "7")]
+    q2 = "SELECT ?s WHERE { ?s <rank> ?r } ORDER BY ASC(?s) LIMIT 2 OFFSET 2"
+    assert [r.s for r in sparql(df, q2).collect()] == ["s2", "s3"]
+    # ordering by an unprojected variable is legal without DISTINCT
+    q3 = "SELECT ?s WHERE { ?s <rank> ?r } ORDER BY DESC(?r) LIMIT 1"
+    assert [r.s for r in sparql(df, q3).collect()] == ["s9"]
+    with pytest.raises(ValueError, match="DISTINCT restricts"):
+        sparql(df, "SELECT DISTINCT ?s WHERE { ?s <rank> ?r } ORDER BY ?r")
+    with pytest.raises(ValueError, match="needs at least one"):
+        parse("SELECT ?s WHERE { ?s <rank> ?r } ORDER BY LIMIT 2")
+
+
 def test_cli_query_mode_select_and_construct(spark, tmp_path, capsys):
     """`python -m kgforge --sparql q.rq --triples t/` — the CLI
     replacement for the reference's manual Jena-endpoint step."""
