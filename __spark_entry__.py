@@ -286,6 +286,49 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("id", "n_bytes", "magic_hex")
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-header metadata (kgforge.textops.multimodal.
+    parse_audio_header): canonical WAV headers are CONSTRUCTED in-plan
+    from deterministic doc fields (little-endian byte assembly via
+    hex/unhex), then parsed back by the pure-JVM header parser; the
+    oracle recomputes the expected fields arithmetically, so any
+    construct/parse asymmetry fails the hash."""
+    from kgforge.textops.multimodal import parse_audio_header
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    ch = (did % 2 + 1).cast("long")
+    sr = (did % 5 * 4000 + 8000).cast("long")
+    bits = ((did % 3 + 1) * 8).cast("long")
+    byte_rate = (sr * ch * bits / 8).cast("long")
+    block_align = (ch * bits / 8).cast("long")
+    dsize = ((did % 100 + 1) * 1024).cast("long")
+
+    def le(x, nbytes: int):
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.shiftright(x, 8 * i).bitwiseAND(F.lit(255))), 2, "0")
+                for i in range(nbytes)
+            ]
+        )
+
+    def ascii_hex(s: str) -> F.Column:
+        return F.lit(s.encode().hex().upper())
+
+    payload = F.unhex(
+        F.concat(
+            ascii_hex("RIFF"), le(dsize + 36, 4), ascii_hex("WAVE"),
+            ascii_hex("fmt "), le(F.lit(16).cast("long"), 4),
+            le(F.lit(1).cast("long"), 2), le(ch, 2), le(sr, 4),
+            le(byte_rate, 4), le(block_align, 2), le(bits, 2),
+            ascii_hex("data"), le(dsize, 4),
+        )
+    )
+    return parse_audio_header(
+        docs.select(did.alias("id"), payload.alias("payload"))
+    )
+
+
 def q_kg_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11/T10: typed XSD literals (raw lexical form + datatype tag)."""
     df = load(spark, sf_dir, "lineitem")
@@ -595,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_audio": q_multimodal_audio,
         "kg_typed_literals": q_kg_typed_literals,
         "kg_type_chain": q_kg_type_chain,
         "kg_ontology_reqs": q_kg_ontology_reqs,
@@ -984,6 +1028,18 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id AS id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "multimodal_audio": """
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   'wav' AS format,
+                   CAST(doc_id % 2 + 1 AS INT) AS channels,
+                   CAST(doc_id % 5 * 4000 + 8000 AS INT) AS sample_rate,
+                   CAST((doc_id % 3 + 1) * 8 AS INT) AS bits_per_sample,
+                   CAST(FLOOR(((doc_id % 100 + 1) * 1024) * 1000.0 /
+                        ((doc_id % 5 * 4000 + 8000) * (doc_id % 2 + 1)
+                         * ((doc_id % 3 + 1) * 8) / 8)) AS BIGINT)
+                     AS duration_ms
             FROM documents
         """,
         "multimodal_meta": """

@@ -180,3 +180,84 @@ def decode_stub(
     return df.select(F.col(id_col).alias("id"), F.col(payload_col)).mapInPandas(
         run, schema=_DECODE_SCHEMA
     )
+
+
+def parse_audio_header(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """REAL audio header parsing without a codec — pure JVM byte
+    arithmetic, same posture as parse_image_header:
+    (id, format, channels, sample_rate, bits_per_sample, duration_ms).
+
+    * WAV  (RIFF....WAVE): canonical 44-byte layout ("fmt " chunk at
+      13, "data" chunk at 37) fully parsed — channels/sample-rate/
+      byte-rate/bits little-endian at 23/25/29/35, data size at 41;
+      duration_ms = data_size * 1000 / byte_rate. Non-canonical chunk
+      orders are detected as wav with NULL fields (a chunk WALK needs
+      the decode path).
+    * FLAC (fLaC): STREAMINFO bitfields — 20-bit sample rate, 3-bit
+      channels-1, 5-bit bps-1, 36-bit total samples (duration).
+    * OGG (OggS) / MP3 (ID3 tag or frame sync): magic detect only —
+      their rates live in codec-specific frames.
+    """
+    p = F.col(payload_col)
+
+    def _ascii(off: int, n: int) -> F.Column:
+        return F.substring(p, off, n).cast("string")
+
+    is_wav = (_ascii(1, 4) == "RIFF") & (_ascii(9, 4) == "WAVE")
+    canonical = is_wav & (_ascii(13, 4) == "fmt ") & (_ascii(37, 4) == "data")
+    wav_ch = _u8(p, 23) + _u8(p, 24) * 256
+    wav_sr = (
+        _u8(p, 25) + _u8(p, 26) * 256 + _u8(p, 27) * 65536 + _u8(p, 28) * 16777216
+    )
+    wav_byte_rate = (
+        _u8(p, 29) + _u8(p, 30) * 256 + _u8(p, 31) * 65536 + _u8(p, 32) * 16777216
+    )
+    wav_bits = _u8(p, 35) + _u8(p, 36) * 256
+    wav_dsize = (
+        _u8(p, 41) + _u8(p, 42) * 256 + _u8(p, 43) * 65536 + _u8(p, 44) * 16777216
+    )
+    wav_dur = F.floor(wav_dsize * 1000 / wav_byte_rate)
+
+    is_flac = _ascii(1, 4) == "fLaC"
+    flac_sr = _u8(p, 19) * 4096 + _u8(p, 20) * 16 + F.floor(_u8(p, 21) / 16)
+    flac_ch = F.floor((_u8(p, 21) % 16) / 2) + 1
+    flac_bits = (_u8(p, 21) % 2) * 16 + F.floor(_u8(p, 22) / 16) + 1
+    flac_samples = (
+        (_u8(p, 22) % 16) * F.lit(4294967296)
+        + _u8(p, 23) * 16777216
+        + _u8(p, 24) * 65536
+        + _u8(p, 25) * 256
+        + _u8(p, 26)
+    )
+    flac_dur = F.floor(flac_samples * 1000 / flac_sr)
+
+    is_ogg = _ascii(1, 4) == "OggS"
+    is_mp3 = (_ascii(1, 3) == "ID3") | F.upper(F.hex(F.substring(p, 1, 2))).isin(
+        "FFFB", "FFF3", "FFF2"
+    )
+
+    fmt = (
+        F.when(is_wav, F.lit("wav"))
+        .when(is_flac, F.lit("flac"))
+        .when(is_ogg, F.lit("ogg"))
+        .when(is_mp3, F.lit("mp3"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    channels = F.when(canonical, wav_ch).when(is_flac, flac_ch).cast("int")
+    sample_rate = F.when(canonical, wav_sr).when(is_flac, flac_sr).cast("int")
+    bits = F.when(canonical, wav_bits).when(is_flac, flac_bits).cast("int")
+    duration_ms = (
+        F.when(canonical & (wav_byte_rate > 0), wav_dur)
+        .when(is_flac & (flac_sr > 0), flac_dur)
+        .cast("bigint")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        fmt.alias("format"),
+        channels.alias("channels"),
+        sample_rate.alias("sample_rate"),
+        bits.alias("bits_per_sample"),
+        duration_ms.alias("duration_ms"),
+    )

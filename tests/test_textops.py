@@ -380,6 +380,61 @@ def test_parse_image_header_magic_bytes(spark):
     assert got[5] == (None, None, None)
 
 
+def test_parse_audio_header_magic_bytes(spark):
+    """Real byte fixtures: canonical WAV fully parsed (incl. duration
+    from data-size/byte-rate), FLAC STREAMINFO bitfields, OGG/MP3
+    magic-only, junk -> all NULL."""
+    import struct
+
+    from kgforge.textops.multimodal import parse_audio_header
+
+    def wav(ch, sr, bits, dsize):
+        byte_rate = sr * ch * bits // 8
+        return (
+            b"RIFF" + struct.pack("<I", 36 + dsize) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate,
+                                    ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", dsize)
+        )
+
+    # FLAC STREAMINFO: 44100 Hz, 2ch, 16bps, 441000 samples (10 s);
+    # bitfields packed per the spec: 20-bit sr | 3-bit ch-1 |
+    # 5-bit bps-1 | 36-bit total samples
+    sr, ch, bits, samples = 44100, 2, 16, 441000
+    b18 = (sr >> 12) & 0xFF
+    b19 = (sr >> 4) & 0xFF
+    b20 = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)
+    b21 = (((bits - 1) & 0xF) << 4) | ((samples >> 32) & 0xF)
+    flac = (
+        b"fLaC" + b"\x00\x00\x00\x22"                 # STREAMINFO block header
+        + struct.pack(">HH", 4096, 4096) + b"\x00" * 6  # blocksizes + framesizes
+        + bytes([b18, b19, b20, b21])
+        + struct.pack(">I", samples & 0xFFFFFFFF)
+    )
+    ogg = b"OggS\x00\x02" + b"\x00" * 20
+    mp3 = b"ID3\x04\x00" + b"\x00" * 10
+    mp3_sync = b"\xff\xfb\x90\x00" + b"\x00" * 10
+    junk = b"definitely not audio"
+
+    rows = [
+        (1, wav(2, 44100, 16, 44100 * 4)),   # 1 s stereo 16-bit
+        (2, wav(1, 8000, 8, 4000)),          # 0.5 s mono 8-bit
+        (3, flac), (4, ogg), (5, mp3), (6, mp3_sync), (7, junk),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {
+        r.id: (r.format, r.channels, r.sample_rate, r.bits_per_sample, r.duration_ms)
+        for r in parse_audio_header(df).collect()
+    }
+    assert got[1] == ("wav", 2, 44100, 16, 1000)
+    assert got[2] == ("wav", 1, 8000, 8, 500)
+    assert got[3] == ("flac", 2, 44100, 16, 10000)
+    assert got[4] == ("ogg", None, None, None, None)
+    assert got[5] == ("mp3", None, None, None, None)
+    assert got[6] == ("mp3", None, None, None, None)
+    assert got[7] == (None, None, None, None, None)
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "binary payload test")], "doc_id long, text string"
