@@ -261,3 +261,41 @@ def parse_audio_header(
         bits.alias("bits_per_sample"),
         duration_ms.alias("duration_ms"),
     )
+
+
+def parse_video_header(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """Video container detection — pure JVM bytes, no decode:
+    (id, format, major_brand).
+
+    * MP4/MOV family: size(4) + "ftyp" at offset 5, major brand ASCII
+      at 9-12 (isom/mp42/qt  /M4V ...)
+    * WebM/MKV: EBML magic 1A45DFA3 (discriminating the two needs the
+      DocType element scan -> decode path; reported as "ebml")
+    * AVI: RIFF....AVI(space)
+
+    Frame dimensions live in variable-position boxes (moov/trak,
+    Segment/Tracks) — that walk is the decode_stub path, same split
+    as JPEG dimensions in parse_image_header."""
+    p = F.col(payload_col)
+
+    def _ascii(off: int, n: int) -> F.Column:
+        return F.substring(p, off, n).cast("string")
+
+    is_mp4 = _ascii(5, 4) == "ftyp"
+    is_ebml = F.upper(F.hex(F.substring(p, 1, 4))) == "1A45DFA3"
+    is_avi = (_ascii(1, 4) == "RIFF") & (_ascii(9, 4) == "AVI ")
+
+    fmt = (
+        F.when(is_mp4, F.lit("mp4"))
+        .when(is_ebml, F.lit("ebml"))
+        .when(is_avi, F.lit("avi"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    brand = F.when(is_mp4, F.trim(_ascii(9, 4))).cast("string")
+    return df.select(
+        F.col(id_col).alias("id"),
+        fmt.alias("format"),
+        brand.alias("major_brand"),
+    )

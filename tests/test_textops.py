@@ -449,3 +449,25 @@ def test_multimodal_plumbing(spark):
     assert abs(norm - 1.0) < 1e-5
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_stub(payloads, mode="raise").collect()
+
+
+def test_parse_video_header_magic_bytes(spark):
+    """Container detection from fixed-position bytes: MP4 major brand,
+    EBML (webm/mkv), AVI; junk -> NULL."""
+    import struct
+
+    from kgforge.textops.multimodal import parse_video_header
+
+    mp4 = struct.pack(">I", 32) + b"ftypisom" + b"\x00\x00\x02\x00" + b"isomiso2"
+    m4v = struct.pack(">I", 20) + b"ftypM4V " + b"\x00" * 8
+    ebml = b"\x1a\x45\xdf\xa3" + b"\x01\x00\x00\x00" + b"\x00" * 8
+    avi = b"RIFF" + struct.pack("<I", 1000) + b"AVI LIST"
+    junk = b"movie night"
+    rows = [(1, mp4), (2, m4v), (3, ebml), (4, avi), (5, junk)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: (r.format, r.major_brand) for r in parse_video_header(df).collect()}
+    assert got[1] == ("mp4", "isom")
+    assert got[2] == ("mp4", "M4V")
+    assert got[3] == ("ebml", None)
+    assert got[4] == ("avi", None)
+    assert got[5] == (None, None)
