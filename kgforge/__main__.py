@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--sparql", help="SPARQL query file (query mode)")
     ap.add_argument("--triples", help="triple-table parquet path (query mode)")
+    ap.add_argument(
+        "--rdfs",
+        action="store_true",
+        help="apply the materialized RDFS closure before querying "
+        "(the reference's Jena-reasoner semantics, kgforge.rdfs)",
+    )
     args = ap.parse_args(argv)
     if args.sparql:
         if not args.triples:
@@ -63,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.sparql, encoding="utf-8") as f:
             qtext = f.read()
         triples = spark.read.parquet(args.triples).select(*TRIPLE_FIELDS)
+        if args.rdfs:
+            from kgforge.rdfs import rdfs_closure
+
+            triples = rdfs_closure(triples)
         result = sparql(triples, qtext)
         if result.columns == TRIPLE_FIELDS:  # CONSTRUCT / INSERT form
             for r in to_ntriples_lines(result).sort("line").collect():

@@ -256,6 +256,21 @@ WHERE
         assert q.form in ("select", "construct")
 
 
+def test_schema_pattern_broadcasts_in_plan(spark):
+    """The version-resolution MINUS side joins ?r1 against a
+    subPropertyOf pattern — grammar-sized by construction, so the plan
+    must broadcast it (no schema-side shuffle at any corpus size)."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """
+    SELECT distinct ?x ?z WHERE {
+        ?x ns1v2:applicable_to ?z .
+        MINUS { ?x ?r1 ?z . ?r1 rdfs:subPropertyOf ns1:applicable_to .
+                filter(?r1 != ns1v2:applicable_to) }
+    }"""
+    plan = sparql(df, q)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_order_by_limit_offset(spark):
     rows = [(f"s{i}", "rank", str(i), "") for i in range(10)]
     df = _triples(spark, rows)
@@ -301,6 +316,30 @@ def test_cli_query_mode_select_and_construct(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines == sorted(lines) and len(lines) == 2
     assert all(l.startswith(f"<{NS}part12> <{NS}applicable_to> <") for l in lines)
+
+
+def test_cli_query_mode_rdfs_inference(spark, tmp_path, capsys):
+    """--rdfs applies the materialized closure before querying: the
+    mother property is only reachable through subPropertyOf
+    inference."""
+    from kgforge.__main__ import main
+    from kgforge.io.write import write_triples
+
+    tpath = str(tmp_path / "triples")
+    write_triples(_triples(spark, VERSION_ROWS), tpath, n_buckets=2)
+    q = tmp_path / "q.rq"
+    q.write_text(
+        PREFIXES + "SELECT distinct ?x ?z WHERE { ?x ns1:applicable_to ?z }"
+    )
+    assert main(["--sparql", str(q), "--triples", tpath]) == 0
+    assert capsys.readouterr().out.strip().splitlines() == ["x\tz"]  # no inference
+
+    assert main(["--sparql", str(q), "--triples", tpath, "--rdfs"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert sorted(lines[1:]) == [
+        f"{NS}part12\t{NS}variantA",
+        f"{NS}part12\t{NS}variantB",
+    ]
 
 
 def test_cli_query_mode_arg_validation():
