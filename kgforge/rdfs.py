@@ -171,9 +171,10 @@ def rdfs_closure(
     schema_edges = base.filter(F.col("pred").isin(*SCHEMA_PREDS)).select(
         "subj", "pred", "obj"
     )
-    probe = schema_edges.groupBy().count().collect()
-    if probe[0][0] <= max_driver_edges:
-        rows = schema_edges.collect()  # one job, one scan
+    # ONE scan job: collect up to bound+1 rows — if the limit is hit,
+    # the schema exceeds the driver bound and we go distributed
+    rows = schema_edges.limit(max_driver_edges + 1).collect()
+    if len(rows) <= max_driver_edges:
 
         def _local(pred: str, close: bool) -> DataFrame:
             pairs = [(r.subj, r.obj) for r in rows if r.pred == pred]
