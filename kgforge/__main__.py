@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="kgforge-cli", master=args.master)
 
     if args.sparql:
-        from kgforge.sparql import TRIPLE_FIELDS, sparql
+        from kgforge.sparql import TRIPLE_FIELDS, parse, sparql
 
         with open(args.sparql, encoding="utf-8") as f:
             qtext = f.read()
@@ -73,13 +73,14 @@ def main(argv: list[str] | None = None) -> int:
             from kgforge.rdfs import rdfs_closure
 
             triples = rdfs_closure(triples)
-        result = sparql(triples, qtext)
-        if result.columns == TRIPLE_FIELDS:  # CONSTRUCT / INSERT form
-            for r in to_ntriples_lines(result).sort("line").collect():
+        form = parse(qtext).form  # route on the query form, not on
+        result = sparql(triples, qtext)  # accidental column names
+        if form == "construct":  # CONSTRUCT / INSERT -> N-Triples
+            for r in to_ntriples_lines(result).sort("line").toLocalIterator():
                 print(r.line)
-        else:
-            print("\t".join(result.columns))
-            for r in result.collect():
+        else:  # SELECT -> TSV, streamed partition-at-a-time (a BGP
+            print("\t".join(result.columns))  # dump can be table-sized)
+            for r in result.toLocalIterator():
                 print("\t".join("" if v is None else str(v) for v in r))
         return 0
     os.makedirs(args.out, exist_ok=True)

@@ -107,7 +107,8 @@ class ParquetLedgerSink(TripleSink):
             salt = F.pmod(
                 F.xxhash64(
                     *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                      for c in df.columns if c != "subj_bucket"]
+                      for c in df.columns
+                      if c not in ("subj_bucket", "subj")]
                 ),
                 F.lit(int(self.salt_partitions)),
             )

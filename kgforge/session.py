@@ -79,7 +79,10 @@ def local_df(spark, rows, schema):
     import pandas as pd
 
     if isinstance(schema, str):
-        cols = [f.split(":")[0].strip() for f in schema.split(",")]
+        # "name type, name type" DDL — first token of each field; a
+        # comma inside a composite type (map<string,int>) is out of
+        # scope for driver-small relations
+        cols = [f.strip().split(" ")[0] for f in schema.split(",")]
     else:  # StructType
         cols = schema.fieldNames()
     return spark.createDataFrame(

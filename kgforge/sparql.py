@@ -25,19 +25,27 @@ straight to Catalyst plans:
             chain with equi-joins on their shared variables. Patterns
             whose predicate is a schema predicate (rdfs:subClassOf /
             subPropertyOf / domain / range) are broadcast — the schema
-            side is grammar-sized, so e.g. the version-resolution query
-            is a broadcast join + broadcast anti-join at any corpus
-            size, no schema-side shuffle. MINUS compiles to LEFT ANTI
-            on the shared variables (SPARQL-correct: no shared
-            variables -> no-op). FILTER compiles to a Column predicate.
+            side is grammar-sized, so e.g. the version-resolution
+            query's inference join never shuffles the schema side.
+            MINUS compiles to LEFT ANTI on the shared variables
+            (SPARQL-correct: no shared variables -> no-op); a MINUS
+            side that derives from instance triples is instance-scale,
+            so the anti-join itself is a sort-merge join by design
+            (AQE demotes it to broadcast at runtime when it is small).
+            FILTER compiles to a Column predicate; comparisons are
+            string-wise (SPARQL simple-literal semantics) unless a
+            bare numeric constant appears, which switches that
+            comparison to numeric — typed-literal numeric promotion
+            is out of subset.
 
 RDF term typing rides along: a variable bound in object position
 carries a hidden `<var>__dt` column (None = IRI, '' = plain literal,
 else datatype IRI — the emit model, kgforge/triples/emit.py:168-186).
 Join compatibility and MINUS compatibility include the datatype; a
-variable that also appears in subject/predicate position anywhere in
-the query is IRI-only, so its object bindings are filtered to
-`obj_dt IS NULL` in-plan instead of carrying a shadow column.
+variable that also appears in subject/predicate position in a group's
+own patterns is IRI-only there, so its object bindings are filtered
+to `obj_dt IS NULL` in-plan instead of carrying a shadow column (the
+MINUS boundary reconciles sides that disagree on a variable's kind).
 
 SELECT returns the lexical values (one column per variable, SPARQL
 projection order). CONSTRUCT/INSERT return a deduped
@@ -153,7 +161,10 @@ _TOKEN = re.compile(
     | (?P<lit>"(?:[^"\\]|\\.)*")
     | (?P<dtsep>\^\^)
     | (?P<num>[+-]?\d+(?:\.\d+)?)
-    | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<plocal>[A-Za-z0-9_.%-]*)
+    | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*)?:
+      (?P<plocal>(?:[A-Za-z0-9_%-]+(?:\.[A-Za-z0-9_%-]+)*)?)
+      # PN_LOCAL may CONTAIN dots but not end with one — a trailing
+      # '.' is the triple terminator (`... ns1:Variant. }`)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*])
     """,
@@ -240,10 +251,16 @@ class _Parser:
             ns = self.expect("iri")
             self.prefixes[pfx[:-1]] = ns
         if self.at("kw", "select"):
-            return self._select()
-        if self.at("kw", "construct") or self.at("kw", "insert"):
-            return self._construct()
-        raise ValueError(f"expected SELECT/CONSTRUCT/INSERT, got {self.peek()}")
+            q = self._select()
+        elif self.at("kw", "construct") or self.at("kw", "insert"):
+            q = self._construct()
+        else:
+            raise ValueError(f"expected SELECT/CONSTRUCT/INSERT, got {self.peek()}")
+        if not self.at("eof"):
+            # silently ignoring trailing tokens would e.g. drop a
+            # misspelled modifier and dump the full result set
+            raise ValueError(f"unexpected trailing tokens at {self.peek()}")
+        return q
 
     def _select(self) -> Query:
         self.expect("kw", "select")
@@ -302,7 +319,9 @@ class _Parser:
         template = self._triples_until_close()
         self.expect("kw", "where")
         group = self._group()
-        return Query("construct", group, template=template)
+        q = Query("construct", group, template=template)
+        self._modifiers(q)  # modifiers act on the solution sequence
+        return q
 
     def _group(self) -> Group:
         self.expect("op", "{")
@@ -448,17 +467,18 @@ def _dt_shadow(var: str) -> str:
 
 
 def _iri_only_vars(g: Group) -> set[str]:
-    """Variables that appear in subject or predicate position anywhere
-    in the group (incl. MINUS blocks): always IRIs, no dt shadow."""
+    """Variables that appear in subject or predicate position in THIS
+    group's own patterns: always IRIs, no dt shadow. Deliberately NOT
+    recursive into MINUS blocks — a subject-position occurrence inside
+    a MINUS must not pre-filter the OUTER group's object bindings to
+    IRIs (that would wrongly REMOVE literal solutions that SPARQL
+    MINUS keeps); the anti-join boundary handles the mixed case with
+    an explicit datatype-compatibility condition instead."""
     out: set[str] = set()
-    stack = [g]
-    while stack:
-        cur = stack.pop()
-        for s, p, _o in cur.patterns:
-            for t in (s, p):
-                if isinstance(t, Var):
-                    out.add(t.name)
-        stack.extend(cur.minuses)
+    for s, p, _o in g.patterns:
+        for t in (s, p):
+            if isinstance(t, Var):
+                out.add(t.name)
     return out
 
 
@@ -476,6 +496,11 @@ def _compile_pattern(
         if isinstance(term, Var):
             if term.name in proj:  # repeated var inside one pattern
                 df = df.filter(F.col(col) == proj[term.name])
+                # a repeat at the object position still carries the
+                # IRI-only constraint (the var was just bound in a
+                # subject/predicate slot of this very pattern)
+                if is_obj and term.name in iri_only:
+                    df = df.filter(F.col("obj_dt").isNull())
                 return
             proj[term.name] = F.col(col)
             if is_obj:
@@ -533,25 +558,47 @@ def _join_step(acc: DataFrame | None, pdf: DataFrame) -> DataFrame:
     return joined.select(keep)
 
 
-def _compile_group(triples: DataFrame, g: Group, iri_only: set[str]) -> DataFrame:
+def _compile_group(
+    triples: DataFrame, g: Group, extra_iri_only: set[str] | frozenset = frozenset()
+) -> DataFrame:
     if not g.patterns:
         raise ValueError("empty group graph pattern")
+    iri_only = _iri_only_vars(g) | set(extra_iri_only)
     acc: DataFrame | None = None
     for pat in g.patterns:
         acc = _join_step(acc, _compile_pattern(triples, pat, iri_only))
     assert acc is not None
     for m in g.minuses:
-        mdf = _compile_group(triples, m, iri_only)
-        shared = _shared_keys(acc, mdf)
-        if shared:  # SPARQL MINUS with disjoint domains is a no-op
-            acc = (
-                acc.alias("_l")
-                .join(
-                    broadcast_if_schema_only(m, mdf.select(shared)).alias("_r"),
-                    _null_safe_cond(shared),
-                    "left_anti",
-                )
-            )
+        # the MINUS side computes its OWN iri-only set; the boundary
+        # below reconciles sides that disagree on a shared variable's
+        # term kind (one side shadowed, the other IRI-only)
+        mdf = _compile_group(triples, m)
+        shared = sorted(
+            c
+            for c in set(acc.columns) & set(mdf.columns)
+            if not c.startswith("__dt_")
+        )
+        if not shared:  # SPARQL MINUS with disjoint domains is a no-op
+            continue
+        keep = shared + [
+            _dt_shadow(v) for v in shared if _dt_shadow(v) in mdf.columns
+        ]
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & F.col(f"_l.{v}").eqNullSafe(F.col(f"_r.{v}"))
+            sh = _dt_shadow(v)
+            l_sh, r_sh = sh in acc.columns, sh in mdf.columns
+            if l_sh and r_sh:  # both sides carry the term's datatype
+                cond = cond & F.col(f"_l.{sh}").eqNullSafe(F.col(f"_r.{sh}"))
+            elif l_sh:  # MINUS side bound v as an IRI — only IRI
+                cond = cond & F.col(f"_l.{sh}").isNull()  # terms match
+            elif r_sh:  # outer side bound v as an IRI
+                cond = cond & F.col(f"_r.{sh}").isNull()
+        acc = acc.alias("_l").join(
+            broadcast_if_schema_only(m, mdf.select(keep)).alias("_r"),
+            cond,
+            "left_anti",
+        )
     for f_expr in g.filters:
         acc = acc.filter(_compile_expr(f_expr))
     return acc
@@ -609,13 +656,13 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     the result to `insert()` to union it back into the table).
     """
     q = parse(query)
-    iri_only = _iri_only_vars(q.group)
-    if q.template:
-        for s, p, o in q.template:
+    extra: set[str] = set()
+    if q.template:  # template s/p vars must bind IRIs
+        for s, p, _o in q.template:
             for t in (s, p):
                 if isinstance(t, Var):
-                    iri_only.add(t.name)
-    bound = _compile_group(triples, q.group, iri_only)
+                    extra.add(t.name)
+    bound = _compile_group(triples, q.group, extra)
 
     if q.form == "select":
         out_vars = q.select_vars
@@ -655,6 +702,19 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
 
     # CONSTRUCT: instantiate the template per binding row, union, dedup
     assert q.template, "CONSTRUCT requires a template"
+    # solution modifiers act on the binding sequence BEFORE template
+    # instantiation (the instantiated graph is still a set)
+    if q.order:
+        missing = [v for v, _ in q.order if v not in bound.columns]
+        if missing:
+            raise ValueError(f"ORDER BY on unavailable variable(s) {missing}")
+        bound = bound.orderBy(
+            *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order]
+        )
+    if q.offset:
+        bound = bound.offset(q.offset)
+    if q.limit is not None:
+        bound = bound.limit(q.limit)
     null_dt = F.lit(None).cast("string")
     parts: list[DataFrame] = []
     for s, p, o in q.template:

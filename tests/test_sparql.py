@@ -202,10 +202,55 @@ def test_filter_numeric_and_boolean_ops(spark):
 
 
 def test_repeated_var_within_one_pattern(spark):
-    rows = [("a", "sameAs", "a", None), ("a", "sameAs", "b", None)]
+    rows = [
+        ("a", "sameAs", "a", None),
+        ("a", "sameAs", "b", None),
+        # literal whose LEXICAL form equals the subject IRI — term
+        # inequality (IRI 'c' != literal "c") must exclude it
+        ("c", "sameAs", "c", ""),
+    ]
     df = _triples(spark, rows)
     got = sparql(df, "SELECT ?x WHERE { ?x <sameAs> ?x }")
     assert {r.x for r in got.collect()} == {"a"}
+
+
+def test_pname_trailing_dot_is_triple_terminator(spark):
+    """`?v a ns1:Variant.` (no space before the dot) — PN_LOCAL may
+    contain dots but not end with one; the dot terminates the triple."""
+    df = _triples(spark, VERSION_ROWS)
+    got = sparql(df, PREFIXES + "SELECT ?v WHERE { ?v a ns1:Variant. }")
+    assert {r.v for r in got.collect()} == {NS + "variantA", NS + "variantB"}
+
+
+def test_trailing_tokens_rejected_and_construct_limit():
+    with pytest.raises(ValueError, match="trailing tokens"):
+        parse("SELECT ?x WHERE { ?x <p> ?y } LIMTI 10")
+    q = parse("CONSTRUCT {?x <p2> ?y} WHERE { ?x <p> ?y } LIMIT 5")
+    assert q.form == "construct" and q.limit == 5
+
+
+def test_construct_limit_bounds_solutions(spark):
+    rows = [(f"s{i}", "p", f"o{i}", None) for i in range(10)]
+    df = _triples(spark, rows)
+    q = "CONSTRUCT {?x <p2> ?y} WHERE { ?x <p> ?y } ORDER BY ?x LIMIT 3"
+    got = sparql(df, q).collect()
+    assert {r.subj for r in got} == {"s0", "s1", "s2"}
+
+
+def test_minus_keeps_literal_solutions(spark):
+    """SPARQL MINUS semantics: a literal ?o can never be compatible
+    with a MINUS solution that binds ?o in subject position (an IRI),
+    so the literal row must be KEPT — a subject-position occurrence
+    inside MINUS must not pre-filter the outer group's bindings."""
+    rows = [
+        ("d1", "p", "hello", ""),      # literal object — must survive
+        ("e1", "p", "e2", None),       # IRI object, e2 has a q-edge
+        ("f1", "p", "f2", None),       # IRI object, no q-edge
+        ("e2", "q", "z", None),
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?o WHERE { ?s <p> ?o . MINUS { ?o <q> ?z } }"
+    assert {r.o for r in sparql(df, q).collect()} == {"hello", "f2"}
 
 
 def test_cross_join_when_patterns_share_nothing(spark):
