@@ -166,10 +166,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFE profile: max_bucket + oversize='join' — identical pair set
+    to the unbounded formulation (hash-oracle-compatible) with per-task
+    memory bounded; closes the round-3 watch item about this call site
+    running unguarded."""
+    from kgforge.profile import SAFE
     from kgforge.textops.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
-        _docs_with_clones(spark, sf_dir), num_hashes=8, bands=4
+        _docs_with_clones(spark, sf_dir), num_hashes=8, bands=4, profile=SAFE
     ).select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
 
 
@@ -188,10 +193,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups — pure-JVM 60-bit signature, full DuckDB
-    oracle parity (upgraded from rows-only in round 2)."""
+    oracle parity (upgraded from rows-only in round 2). SAFE profile:
+    census-guarded bucket pair generation with oversize='join', which
+    produces the identical pair set under bounded per-task memory."""
+    from kgforge.profile import SAFE
     from kgforge.textops.dedup import simhash_near_dups
 
-    out = simhash_near_dups(_docs_with_clones(spark, sf_dir), max_hamming=3)
+    out = simhash_near_dups(
+        _docs_with_clones(spark, sf_dir), max_hamming=3, profile=SAFE
+    )
     return out.select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
@@ -242,12 +252,17 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over embeddings ∪ clones
     (multi-table sign-bucket blocking + exact-cosine verify). Fully
     DuckDB-oracled: the driver-seeded hyperplanes are inlined into the
-    oracle as VALUES, so both engines compute the same buckets."""
+    oracle as VALUES, so both engines compute the same buckets.
+    SAFE profile: census guard with oversize='join' — identical pair
+    set, bounded per-task memory."""
+    from kgforge.profile import SAFE
     from kgforge.textops.similarity import embedding_near_dups
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clone = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
-    return embedding_near_dups(emb.unionByName(clone), threshold=0.999).select(
+    return embedding_near_dups(
+        emb.unionByName(clone), threshold=0.999, profile=SAFE
+    ).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),
         "score",
@@ -418,13 +433,19 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_web_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship north-rule pipeline on the synthetic web corpus
     (extract → mentions → link → CC → canonical triples; rows-only —
-    P/R gates live in tests/test_web_pipeline.py)."""
+    P/R gates live in tests/test_web_pipeline.py). Runs with the SCALE
+    profile — every guard armed, the posture a crawl-scale run uses
+    (P/R is re-gated under the same profile in the pytest suite)."""
+    from kgforge.profile import SCALE
     from kgforge.web.corpus import make_corpus, pages_dataframe
     from kgforge.web.pipeline import run_pipeline, unpersist_intermediates
 
     corpus = make_corpus(n_pages=300, seed=42)
     out = run_pipeline(
-        pages_dataframe(spark, corpus), text_from_html=True, persist_intermediate=True
+        pages_dataframe(spark, corpus),
+        text_from_html=True,
+        persist_intermediate=True,
+        profile=SCALE,
     )
     # materialize the result BEFORE releasing the intermediate caches,
     # so repeated calls in one session (bench loop) don't leak blocks

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kgforge.profile import ScaleProfile
+
 
 def word_shingles(text: Column, k: int = 5) -> Column:
     """k-word shingles as strings (JVM): tokens joined with ' '."""
@@ -115,9 +117,13 @@ def minhash_lsh_candidates(
     bands: int = 4,
     max_bucket: int | None = None,
     oversize: str = "join",
+    profile: ScaleProfile | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (a, b) with a < b sharing ≥1 LSH band.
     rows_per_band = num_hashes // bands.
+
+    `profile` (kgforge.profile.ScaleProfile) overrides max_bucket and
+    oversize — the one-switch way to arm the guard.
 
     max_bucket=None (default): single-shuffle bucket pair generation —
     groupBy(band, key) + collect_list + in-array pair explosion.
@@ -139,6 +145,8 @@ def minhash_lsh_candidates(
         a reasonable N carries boilerplate, not signal — same policy
         as ngram_jaccard's max_df guard).
     """
+    if profile is not None:
+        max_bucket, oversize = profile.max_bucket, profile.oversize
     rows = num_hashes // bands
     sig = minhash_signatures_agg(df, id_col, text_col, num_hashes)
     banded = sig.select(
@@ -200,6 +208,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int = 1000,
     max_df_frac: float | None = None,
+    profile: ScaleProfile | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (a, b, jaccard ≥ threshold).
     Candidate pairs via shared-shingle join, with shingles occurring in
@@ -215,7 +224,12 @@ def ngram_jaccard_pairs(
     this fraction of the corpus" — it scales with the data and keeps
     the guard meaningful at every size. A shingle shared by more than
     a tiny fraction of documents carries no near-dup signal, only
-    quadratic join fan-out."""
+    quadratic join fan-out.
+
+    `profile` (kgforge.profile.ScaleProfile) overrides max_df_frac
+    when it carries one (ngram_max_df_frac)."""
+    if profile is not None and profile.ngram_max_df_frac is not None:
+        max_df_frac = profile.ngram_max_df_frac
     if max_df_frac is not None:
         n_docs = df.count()  # one cheap aggregate, driver-side knob
         max_df = max(2, int(n_docs * max_df_frac))
@@ -308,12 +322,48 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
+    oversize: str = "join",
+    drop_zero: bool = False,
+    profile: ScaleProfile | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
     Candidates via banded equality (4×15-bit chunks: any pair within
     hamming 3 shares ≥1 identical chunk — pigeonhole), verified with
-    bit_count(xor) on the JVM."""
+    bit_count(xor) on the JVM.
+
+    Hot-bucket guard (same class as `minhash_lsh_candidates`): every
+    empty/whitespace document hashes to simhash 0 (`simhash`
+    docstring), so ALL of them share all four (chunk, 0) band keys —
+    one crawl shard with 10⁶ empty-extraction pages makes one key emit
+    C(10⁶, 2) ≈ 5×10¹¹ garbage pairs. Two independent knobs:
+
+    * `drop_zero=True` pre-drops simhash-0 docs entirely — their
+      mutual duplication is EXACT (empty == empty) and belongs to
+      `dedup_exact`, not a similarity join. Semantics-changing (pairs
+      among empty docs are no longer reported here).
+    * `max_bucket=N` runs a size census on the (chunk, ck) buckets
+      BEFORE pair generation. Buckets ≤ N generate pairs via bounded
+      collect_list + in-array explosion (ONE shuffle, arrays capped at
+      N); oversized buckets follow `oversize`: "join" keeps the
+      streaming self-join for them (identical output, row-at-a-time —
+      still quadratic OUTPUT for that bucket), "drop" skips them (a
+      band bucket hotter than a reasonable N is boilerplate, and any
+      true near-dup pair inside it almost surely shares one of its
+      three other, colder chunk keys).
+
+    Defaults (None/False) keep the unguarded oracle-parity path.
+    `profile` (kgforge.profile.ScaleProfile) overrides all three knobs.
+    """
+    if profile is not None:
+        max_bucket = profile.max_bucket
+        oversize = profile.oversize
+        drop_zero = profile.simhash_drop_zero
+    if oversize not in ("join", "drop"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
     sig = simhash(df, id_col, text_col)
+    if drop_zero:
+        sig = sig.filter(F.col("simhash") != 0)
     chunks = sig.select(
         "id",
         "simhash",
@@ -331,22 +381,60 @@ def simhash_near_dups(
             )
         ).alias("b"),
     ).select("id", "simhash", "b.chunk", "b.ck")
-    cand = (
-        chunks.alias("l")
-        .join(
-            chunks.alias("r"),
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.ck") == F.col("r.ck"))
-            & (F.col("l.id") < F.col("r.id")),
+
+    def _self_join(rows: DataFrame) -> DataFrame:
+        return (
+            rows.alias("l")
+            .join(
+                rows.alias("r"),
+                (F.col("l.chunk") == F.col("r.chunk"))
+                & (F.col("l.ck") == F.col("r.ck"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("a"),
+                F.col("r.id").alias("b"),
+                F.col("l.simhash").alias("ha"),
+                F.col("r.simhash").alias("hb"),
+            )
         )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+
+    if max_bucket is None:
+        cand = _self_join(chunks).distinct()
+    else:
+        # census first: bucket sizes are tiny rows (one per (chunk, ck)),
+        # and no membership array is collected before the size is known
+        sizes = chunks.groupBy("chunk", "ck").agg(F.count(F.lit(1)).alias("sz"))
+        tagged = chunks.join(sizes.filter(F.col("sz") >= 2), ["chunk", "ck"])
+        small = (
+            tagged.filter(F.col("sz") <= max_bucket)
+            .groupBy("chunk", "ck")
+            .agg(F.collect_list(F.struct("id", "simhash")).alias("mem"))
         )
-        .distinct()
-    )
+        m = F.array_sort(F.col("mem"))  # struct sort: id is field 1 → a < b
+        pair_structs = F.flatten(
+            F.transform(
+                m,
+                lambda x, i: F.transform(
+                    F.slice(m, i + F.lit(2), F.size(m)),
+                    lambda y: F.struct(
+                        x["id"].alias("a"),
+                        y["id"].alias("b"),
+                        x["simhash"].alias("ha"),
+                        y["simhash"].alias("hb"),
+                    ),
+                ),
+            )
+        )
+        cand = small.select(F.explode(pair_structs).alias("p")).select(
+            "p.a", "p.b", "p.ha", "p.hb"
+        )
+        if oversize == "join":
+            big = tagged.filter(F.col("sz") > max_bucket).select(
+                "id", "simhash", "chunk", "ck"
+            )
+            cand = cand.unionByName(_self_join(big))
+        cand = cand.distinct()
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("a", "b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

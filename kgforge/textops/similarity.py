@@ -17,6 +17,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kgforge.profile import ScaleProfile
+
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns (JVM columnar)."""
@@ -159,6 +161,9 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
+    oversize: str = "join",
+    profile: ScaleProfile | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, score ≥ threshold):
     bucket by hyperplane signs, pair only within buckets, verify with
@@ -171,7 +176,29 @@ def embedding_near_dups(
     tables cut it to ≈0.2 at 3× candidate cost, and each extra table
     multiplies the residual miss rate. Candidate pairs are deduped
     across tables BEFORE the exact-cosine verify, so overlapping
-    buckets don't pay double."""
+    buckets don't pay double.
+
+    SIZING n_planes WITH THE CORPUS: the bucket count per table is
+    FIXED at 2^n_planes, so expected bucket population grows linearly
+    with corpus size — and intra-bucket pair output quadratically.
+    The default (n_planes=10 → 1024 buckets) is a test-scale setting;
+    at N vectors pick n_planes ≈ log2(N / target_bucket_size) (e.g.
+    10⁹ vectors, ~1k-vector buckets → n_planes ≈ 20). Independent of
+    sizing, degenerate inputs (all-zero vectors, exact-duplicate
+    embeddings from boilerplate pages) pile into ONE bucket, which is
+    what the guard is for:
+
+    `max_bucket=N` runs a size census on (tbl, bucket) before any pair
+    generation; buckets ≤ N pair via bounded collect_list + in-array
+    explosion, oversized buckets follow `oversize` ("join" = identical
+    output streamed row-at-a-time, "drop" = skip — an over-full sign
+    bucket at a sane cap is a degenerate pile, not near-dup signal).
+    Defaults keep the unguarded oracle-parity path; `profile`
+    (kgforge.profile.ScaleProfile) overrides both knobs."""
+    if profile is not None:
+        max_bucket, oversize = profile.max_bucket, profile.oversize
+    if oversize not in ("join", "drop"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
     first = df.select(F.col(vec_col)).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "a long, b long, score double")
@@ -188,17 +215,42 @@ def embedding_near_dups(
     banded = ids.select(
         "id", F.posexplode(udf(F.col("v"))).alias("tbl", "bucket")
     )
-    cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.tbl") == F.col("r.tbl"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+
+    def _self_join(rows: DataFrame) -> DataFrame:
+        return (
+            rows.alias("l")
+            .join(
+                rows.alias("r"),
+                (F.col("l.tbl") == F.col("r.tbl"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         )
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-    )
+
+    if max_bucket is None:
+        cand = _self_join(banded).distinct()
+    else:
+        from kgforge.textops.dedup import _in_array_pairs
+
+        # census before any membership is collected (same pattern as
+        # minhash_lsh_candidates / simhash_near_dups)
+        sizes = banded.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        tagged = banded.join(sizes.filter(F.col("sz") >= 2), ["tbl", "bucket"])
+        small = (
+            tagged.filter(F.col("sz") <= max_bucket)
+            .groupBy("tbl", "bucket")
+            .agg(F.collect_list("id").alias("ids"))
+        )
+        cand = _in_array_pairs(small)
+        if oversize == "join":
+            big = tagged.filter(F.col("sz") > max_bucket).select(
+                "id", "tbl", "bucket"
+            )
+            cand = cand.unionByName(_self_join(big))
+        cand = cand.distinct()
 
     va = ids.select(F.col("id").alias("a"), F.col("v").alias("va"))
     vb = ids.select(F.col("id").alias("b"), F.col("v").alias("vb"))

@@ -13,20 +13,17 @@ Pipeline:
   → cosine scoring:
       * 'set'   — Otsuka–Ochiai set cosine |A∩B|/sqrt(|A||B|), fully
                   JVM-columnar (array_intersect), the default
-      * 'tfidf' — TF-IDF-weighted cosine in an Arrow-batched pandas
-                  UDF (north-star scorer); IDF weights from the corpus
+      * 'tfidf' — TF-IDF-weighted cosine, fully columnar with the
+                  (g, idf) weight table broadcast-joined (north-star
+                  scorer); IDF weights from the corpus, no
+                  vocabulary-sized driver state
   → sameAs edges (a, b, score) with a < b above `threshold`.
 """
 
 from __future__ import annotations
 
-import math
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def char_ngrams(col, n: int = 3):
@@ -110,49 +107,64 @@ def score_set_cosine(pairs: DataFrame) -> DataFrame:
     return pairs.withColumn("score", F.greatest(set_cos, lev_sim))
 
 
-def score_tfidf_cosine(pairs: DataFrame, idf: dict[str, float]) -> DataFrame:
-    """TF-IDF-weighted cosine in an Arrow-batched pandas UDF. `idf` is
-    a driver-computed {gram: idf_weight} dict (broadcast via closure);
-    on a cluster this is the IDF model's vocabulary — bounded by the
-    gram space, not the corpus."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def vec(grams: list[str]) -> dict[str, float]:
-            tf: dict[str, int] = {}
-            for g in grams:
-                tf[g] = tf.get(g, 0) + 1
-            return {g: c * idf.get(g, 0.0) for g, c in tf.items()}
-
-        def cos(a: list[str], b: list[str]) -> float:
-            va, vb = vec(a), vec(b)
-            dot = sum(w * vb.get(g, 0.0) for g, w in va.items())
-            na = math.sqrt(sum(w * w for w in va.values()))
-            nb = math.sqrt(sum(w * w for w in vb.values()))
-            return dot / (na * nb) if na > 0 and nb > 0 else 0.0
-
-        for pdf in batches:
-            pdf["score"] = [
-                cos(a, b) for a, b in zip(pdf["grams_a"], pdf["grams_b"])
-            ]
-            yield pdf
-
-    schema = T.StructType(
-        list(pairs.schema.fields) + [T.StructField("score", T.DoubleType(), True)]
-    )
-    return pairs.mapInPandas(run, schema=schema)
-
-
-def compute_idf(surfaces: DataFrame, surface_col: str = "surface") -> dict[str, float]:
-    """Driver-side IDF over distinct surfaces' grams."""
+def compute_idf_df(surfaces: DataFrame, surface_col: str = "surface") -> DataFrame:
+    """(g, idf) gram weights over distinct surfaces — a DataFrame, not
+    a driver dict (round-3 verdict: over raw web unicode the char-3-gram
+    vocabulary reaches tens of millions of entries; the only driver
+    state here is the scalar document count). Smoothed
+    idf = ln((n+1)/(df+1)) + 1, identical to the round-1 formula."""
     base = surfaces.select(F.col(surface_col).alias("surface")).distinct()
-    n = base.count()
-    dfreq = (
-        base.select(F.explode(F.array_distinct(char_ngrams(F.col("surface")))).alias("g"))
+    n = base.count()  # one scalar aggregate — bounded driver state
+    return (
+        base.select(
+            F.explode(F.array_distinct(char_ngrams(F.col("surface")))).alias("g")
+        )
         .groupBy("g")
-        .count()
-        .collect()
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "g",
+            (F.log(F.lit(float(n + 1)) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)).alias("idf"),
+        )
     )
-    return {r["g"]: math.log((n + 1) / (r["count"] + 1)) + 1.0 for r in dfreq}
+
+
+def score_tfidf_cosine(pairs: DataFrame, idf: DataFrame) -> DataFrame:
+    """TF-IDF-weighted cosine, fully columnar: explode each pair's two
+    gram arrays with a side tag, aggregate term frequencies, join the
+    (g, idf) weight table (broadcast — it is vocabulary-sized, bounded
+    by the gram space and far smaller than the pair×gram stream), then
+    two key-local aggregations produce dot product and norms. No
+    Python in the path and no vocabulary-sized driver state (replaces
+    the round-1 closure-shipped dict, round-3 verdict watch item #3).
+
+    Grams absent from `idf` weigh 0.0 (same as the dict formulation's
+    `.get(g, 0.0)`). Appends `score` to `pairs`, preserving its other
+    columns."""
+    keys = pairs.select("a", "b", "grams_a", "grams_b")
+    ea = keys.select("a", "b", F.lit("a").alias("side"), F.explode("grams_a").alias("g"))
+    eb = keys.select("a", "b", F.lit("b").alias("side"), F.explode("grams_b").alias("g"))
+    tf = (
+        ea.unionByName(eb)
+        .groupBy("a", "b", "side", "g")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    weighted = tf.join(F.broadcast(idf), "g", "left").select(
+        "a", "b", "side", "g", (F.col("tf") * F.coalesce("idf", F.lit(0.0))).alias("w")
+    )
+    per_gram = weighted.groupBy("a", "b", "g").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == "a", F.col("w"))), F.lit(0.0)).alias("wa"),
+        F.coalesce(F.sum(F.when(F.col("side") == "b", F.col("w"))), F.lit(0.0)).alias("wb"),
+    )
+    sums = per_gram.groupBy("a", "b").agg(
+        F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        F.sum(F.col("wa") * F.col("wa")).alias("na2"),
+        F.sum(F.col("wb") * F.col("wb")).alias("nb2"),
+    )
+    score = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")),
+    ).otherwise(F.lit(0.0))
+    return pairs.join(sums.select("a", "b", score.alias("score")), ["a", "b"])
 
 
 def candidate_pairs_minhash(
@@ -163,6 +175,7 @@ def candidate_pairs_minhash(
     max_bucket: int = 64,
     pair_gen: str = "bucket",
     prune_threshold: float | None = None,
+    profile=None,
 ) -> DataFrame:
     """Candidate pairs via md5-banded MinHash over char-3-grams — the
     engine's own LSH (same primitive as kgforge.textops.dedup), pure
@@ -195,7 +208,13 @@ def candidate_pairs_minhash(
     before the distinct shuffle using two sound upper bounds —
     set_cos ≤ sqrt(min(ng)/max(ng)) (intersection ≤ smaller gram set)
     and lev_sim ≤ 1 − |len_a−len_b| / max(len) (lev ≥ length delta).
+
+    `profile` (kgforge.profile.ScaleProfile) overrides max_bucket with
+    its linking_max_bucket (linking always guards; the profile only
+    tunes the cap).
     """
+    if profile is not None:
+        max_bucket = profile.linking_max_bucket
     bands = num_hashes // rows_per_band
     # repartition BEFORE the heavy map work: the distinct/groupBy
     # feeding this is AQE-coalesced to a handful of partitions (it is
@@ -314,6 +333,7 @@ def link_surfaces(
     scorer: str = "set",
     jaccard_max_dist: float = 0.8,
     blocking: str = "minhash",
+    profile=None,
 ) -> DataFrame:
     """→ sameAs edges (a, b, score), a < b, score ≥ threshold.
 
@@ -348,9 +368,10 @@ def link_surfaces(
             reps,
             "surface",
             prune_threshold=threshold if scorer == "set" else None,
+            profile=profile,
         )
     if scorer == "tfidf":
-        scored = score_tfidf_cosine(pairs, compute_idf(rep.select(F.col("rep").alias("surface"))))
+        scored = score_tfidf_cosine(pairs, compute_idf_df(rep.select(F.col("rep").alias("surface"))))
     else:
         scored = score_set_cosine(pairs)
     fuzzy = scored.filter(F.col("score") >= threshold).select("a", "b", "score")

@@ -44,6 +44,7 @@ def run_pipeline(
     link_threshold: float = 0.78,
     scorer: str = "set",
     persist_intermediate: bool = False,
+    profile=None,
 ) -> dict[str, DataFrame]:
     """Returns every stage output keyed by name (callers materialize
     via kgforge.lineage.run_stage for resumability).
@@ -52,7 +53,11 @@ def run_pipeline(
     which the downstream stages consume 2-4× each — right when the
     caller materializes everything in one session (benchmarks, the
     contract query); leave False when stages are checkpointed to
-    storage anyway (the scaling/lineage path persists externally)."""
+    storage anyway (the scaling/lineage path persists externally).
+
+    `profile` (kgforge.profile.ScaleProfile) arms the linking-stage
+    guards; hand its salt_partitions to materialize_triples for the
+    write stage."""
     if text_from_html:
         extracted = extract_text(pages, "html", "text_extracted")
         pages_txt = extracted.select(
@@ -69,7 +74,10 @@ def run_pipeline(
     if persist_intermediate:
         surfaces = surfaces.persist()
     same_as = link_surfaces(
-        surfaces.select(F.col("surface")), threshold=link_threshold, scorer=scorer
+        surfaces.select(F.col("surface")),
+        threshold=link_threshold,
+        scorer=scorer,
+        profile=profile,
     )
     # sameAs edges between surface IRIs (join back surface → iri)
     s1 = surfaces.select(F.col("surface").alias("a"), F.col("iri").alias("iri_a"))

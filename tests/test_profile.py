@@ -1,0 +1,146 @@
+"""ScaleProfile: the one-switch guard config — every guarded operator
+honors `profile=`, and the SCALE preset arms every knob (the round-3
+verdict's "each call site must remember" failure mode)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.profile import PARITY, SAFE, SCALE, ScaleProfile, knob_names
+from kgforge.textops.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from kgforge.textops.similarity import embedding_near_dups
+from kgforge.web.linking import link_surfaces
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _docs(spark, n=30, seed=3):
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(25))) for i in range(n)
+    ]
+    rows += [(1000, rows[0][1]), (1001, rows[0][1])]  # exact clones
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scale_preset_arms_every_knob():
+    """SCALE must arm EVERY guard the profile carries; a knob added to
+    ScaleProfile without an armed SCALE value fails here (this is the
+    'one switch flips all the guards' contract)."""
+    armed = {
+        "max_bucket": lambda v: v is not None,
+        "oversize": lambda v: v == "drop",
+        "ngram_max_df_frac": lambda v: v is not None,
+        "simhash_drop_zero": lambda v: v is True,
+        "linking_max_bucket": lambda v: isinstance(v, int) and v > 0,
+        "salt_partitions": lambda v: v is not None and v > 1,
+    }
+    assert set(armed) == set(knob_names()), (
+        "new ScaleProfile knob without an armed-value check: "
+        f"{set(knob_names()) ^ set(armed)}"
+    )
+    for knob, check in armed.items():
+        assert check(getattr(SCALE, knob)), f"SCALE does not arm {knob}"
+    # PARITY keeps every semantics-affecting guard off
+    assert PARITY.max_bucket is None and PARITY.ngram_max_df_frac is None
+    assert PARITY.simhash_drop_zero is False and PARITY.salt_partitions is None
+    # SAFE only uses the semantics-preserving pair
+    assert SAFE.max_bucket is not None and SAFE.oversize == "join"
+    assert SAFE.ngram_max_df_frac is None and SAFE.simhash_drop_zero is False
+
+
+def test_invalid_oversize_rejected():
+    with pytest.raises(ValueError, match="oversize"):
+        ScaleProfile(oversize="explode")
+
+
+def test_profile_overrides_minhash(spark):
+    """profile= wins over the function's own keyword args: an armed
+    profile with a tiny cap + drop visibly changes the unguarded
+    result on a planted mega-bucket."""
+    mega = [(50000 + i, "same text every time") for i in range(200)]
+    df = _docs(spark).unionByName(
+        spark.createDataFrame(mega, "doc_id long, text string")
+    )
+    p = ScaleProfile(max_bucket=64, oversize="drop")
+    out = {
+        (r.a, r.b)
+        # explicit kwargs say unguarded — the profile must override
+        for r in minhash_lsh_candidates(
+            df, max_bucket=None, oversize="join", profile=p
+        ).collect()
+    }
+    assert not any(a >= 50000 or b >= 50000 for a, b in out)
+    assert (0, 1000) in out
+
+
+def test_profile_overrides_simhash(spark):
+    empties = [(50000 + i, " ") for i in range(500)]
+    df = _docs(spark).unionByName(
+        spark.createDataFrame(empties, "doc_id long, text string")
+    )
+    out = {
+        (r.a, r.b)
+        for r in simhash_near_dups(df, max_hamming=8, profile=SCALE).collect()
+    }
+    assert not any(a >= 50000 or b >= 50000 for a, b in out)
+    assert (0, 1000) in out
+
+
+def test_profile_overrides_ngram(spark):
+    """SCALE's corpus-relative shingle cap overrides the absolute
+    default: with every doc sharing one boilerplate prefix, the common
+    shingles stop being join keys."""
+    rng = random.Random(9)
+    common = "the cat sat"  # exactly one all-docs 3-shingle
+    rows = [
+        (i, f"{common} " + " ".join(rng.choice(WORDS) for _ in range(8)))
+        for i in range(50)
+    ]
+    rows.append((5000, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = ScaleProfile(ngram_max_df_frac=0.2)
+    # clones share 9 shingles, 1 of them guarded out as a join key →
+    # observed jaccard 8/(9+9-8) = 0.8 exactly
+    out = {(r.a, r.b) for r in ngram_jaccard_pairs(df, threshold=0.75, profile=p).collect()}
+    assert (0, 5000) in out
+
+
+def test_profile_overrides_embedding(spark):
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(100)]
+    rows.append((9000, [x + rng.gauss(0, 0.001) for x in rows[3][1]]))
+    pile = [(70000 + i, [1.0] + [0.25] * 15) for i in range(500)]
+    df = spark.createDataFrame(
+        rows + pile, "vec_id long, embedding array<double>"
+    )
+    p = ScaleProfile(max_bucket=64, oversize="drop")
+    out = {
+        (r.a, r.b)
+        for r in embedding_near_dups(df, threshold=0.95, profile=p).collect()
+    }
+    assert not any(a >= 70000 or b >= 70000 for a, b in out)
+    assert (3, 9000) in out
+
+
+def test_profile_tunes_linking_bucket_cap(spark):
+    """linking_max_bucket reaches candidate_pairs_minhash through
+    link_surfaces: a cap of 1 admits no bucket (buckets need ≥2
+    members to pair), so only the exact case-fold tier links."""
+    surfaces = spark.createDataFrame(
+        [("Alpha Corp",), ("alpha corp",), ("Alpha Corpn",), ("Beta LLC",)],
+        "surface string",
+    )
+    normal = link_surfaces(surfaces, threshold=0.5).collect()
+    assert any(r.score < 1.0 for r in normal)  # fuzzy tier active
+    capped = link_surfaces(
+        surfaces, threshold=0.5, profile=ScaleProfile(linking_max_bucket=1)
+    ).collect()
+    assert capped and all(r.score == 1.0 for r in capped)  # exact tier only

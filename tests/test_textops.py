@@ -200,6 +200,77 @@ def test_simhash_properties(spark):
     assert simhash(empty).first().simhash == 0
 
 
+def test_simhash_guard_join_parity(spark):
+    """max_bucket + oversize='join': identical pair set to the
+    unbounded default even when the cap diverts nearly every bucket
+    through the streaming join."""
+    df = _docs(spark)
+    base = {(r.a, r.b, r.hamming) for r in simhash_near_dups(df, max_hamming=8).collect()}
+    bounded = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_near_dups(
+            df, max_hamming=8, max_bucket=2, oversize="join"
+        ).collect()
+    }
+    assert bounded == base
+
+
+def test_simhash_guard_drop_and_drop_zero(spark):
+    """Planted empty-doc shard: every empty doc hashes to simhash 0 and
+    shares all four (chunk, 0) keys. Both guards neutralize it —
+    max_bucket+'drop' censuses the hot buckets away, drop_zero removes
+    the docs before banding — while real near-dups survive."""
+    empties = [(50000 + i, "   ") for i in range(3000)]
+    df = _docs(spark).unionByName(
+        spark.createDataFrame(empties, "doc_id long, text string")
+    )
+    for kwargs in (
+        {"max_bucket": 64, "oversize": "drop"},
+        {"drop_zero": True},
+    ):
+        pairs = {
+            (r.a, r.b)
+            for r in simhash_near_dups(df, max_hamming=8, **kwargs).collect()
+        }
+        assert not any(a >= 50000 or b >= 50000 for a, b in pairs), kwargs
+        assert (0, 1000) in pairs and (1000, 1001) in pairs, kwargs
+
+
+def test_simhash_guard_capped_memory():
+    """10⁵ planted empty docs (the round-3 verdict's hot-chunk corpus:
+    C(10⁵,2) ≈ 5·10⁹ garbage pairs unguarded) complete in a
+    memory-capped JVM with the census guard on; the real clone pair is
+    still emitted. Fresh subprocess — driver memory is fixed at JVM
+    start."""
+    import subprocess
+    import sys
+
+    script = """
+from kgforge.session import get_spark
+from kgforge.textops.dedup import simhash_near_dups
+spark = get_spark(app_name="capped", master="local[2]", shuffle_partitions=4,
+                  extra_conf={"spark.driver.memory": "700m"})
+rows = [(i, "") for i in range(100000)]
+rows += [(200000, "unique alpha beta gamma delta epsilon zeta eta theta"),
+         (200001, "unique alpha beta gamma delta epsilon zeta eta theta")]
+df = spark.createDataFrame(rows, "doc_id long, text string")
+out = simhash_near_dups(df, max_bucket=64, oversize="drop").collect()
+pairs = {(r.a, r.b) for r in out}
+assert pairs == {(200000, 200001)}, sorted(pairs)[:10]
+print("CAPPED_OK")
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CAPPED_OK" in proc.stdout
+
+
 def _embeddings(spark, n=200, dim=16, seed=7):
     rng = random.Random(seed)
     rows = []
@@ -233,6 +304,72 @@ def test_embedding_near_dups(spark):
     # 10-plane table misses pairs straddling one hyperplane)
     assert (5, 9001) in out and 0.9 < out[(5, 9001)] < 1.0
     assert all(s >= 0.95 for s in out.values())
+
+
+def test_embedding_guard_join_parity(spark):
+    """max_bucket + oversize='join' reproduces the unbounded pair set
+    exactly, even with a cap small enough to divert every bucket."""
+    df = _embeddings(spark)
+    base = {
+        (r.a, r.b) for r in embedding_near_dups(df, threshold=0.95).collect()
+    }
+    bounded = {
+        (r.a, r.b)
+        for r in embedding_near_dups(
+            df, threshold=0.95, max_bucket=2, oversize="join"
+        ).collect()
+    }
+    assert bounded == base
+
+
+def test_embedding_guard_drop_planted_pile(spark):
+    """A planted pile of identical vectors (boilerplate-page
+    embeddings) saturates ONE bucket per table; with 'drop' the census
+    excludes those buckets before any pair generation, and the normal
+    planted near-dups are unaffected."""
+    df = _embeddings(spark)
+    pile_vec = [1.0] + [0.25] * 15
+    pile = [(70000 + i, pile_vec) for i in range(3000)]
+    big = df.unionByName(
+        spark.createDataFrame(pile, "vec_id long, embedding array<double>")
+    )
+    out = embedding_near_dups(big, threshold=0.95, max_bucket=64, oversize="drop")
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert not any(a >= 70000 or b >= 70000 for a, b in pairs)
+    assert (3, 9000) in pairs and (5, 9001) in pairs
+
+
+def test_embedding_guard_capped_memory():
+    """20k duplicate vectors (C(20k,2) ≈ 2·10⁸ pairs unguarded)
+    complete in a memory-capped JVM with the census guard; the planted
+    true near-dup pair elsewhere is still found."""
+    import subprocess
+    import sys
+
+    script = """
+from kgforge.session import get_spark
+from kgforge.textops.similarity import embedding_near_dups
+spark = get_spark(app_name="capped", master="local[2]", shuffle_partitions=4,
+                  extra_conf={"spark.driver.memory": "700m"})
+pile = [(i, [1.0, 0.5, -0.25, 0.125] * 4) for i in range(20000)]
+pile += [(50000, [float(j) for j in range(16)]),
+         (50001, [float(j) + 0.001 for j in range(16)])]
+df = spark.createDataFrame(pile, "vec_id long, embedding array<double>")
+out = embedding_near_dups(df, threshold=0.999, max_bucket=64, oversize="drop").collect()
+pairs = {(r.a, r.b) for r in out}
+assert pairs == {(50000, 50001)}, sorted(pairs)[:10]
+print("CAPPED_OK")
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CAPPED_OK" in proc.stdout
 
 
 def test_ann_index_probe_prunes_scan(spark, tmp_path):

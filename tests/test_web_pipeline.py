@@ -141,6 +141,25 @@ def test_pipeline_end_to_end_pr(spark, pages, corpus):
     )
 
 
+def test_pipeline_end_to_end_pr_scale_profile(spark, pages, corpus):
+    """The SCALE profile (every guard armed — the posture the contract
+    query and crawl-scale runs use) keeps the north-rule P/R gate."""
+    from kgforge.profile import SCALE
+
+    out = run_pipeline(pages, text_from_html=True, profile=SCALE)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in out["canonical_triples"].filter(F.col("obj_dt").isNull()).collect()
+    }
+    want = C.true_canonical_triples(corpus)
+    tp = len(got & want)
+    precision = tp / len(got)
+    recall = tp / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision:.4f} R={recall:.4f} got={len(got)} want={len(want)}"
+    )
+
+
 def test_linking_cluster_quality(spark, pages, corpus):
     out = run_pipeline(pages, text_from_html=False)
     pred_map = {r.node: r.canon for r in out["canonical_map"].collect()}
