@@ -637,6 +637,62 @@ def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL (round-4): every current-version link, extended
+    with the superseded v01 link when one exists — compiled to a
+    null-safe LEFT OUTER join; parts without a v01 statement keep
+    their solutions with ?w unbound (NULL)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1v1: <{_SPARQL_V1}>
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT ?x ?z ?w
+    WHERE {{
+        ?x ns1v2:applicable_to ?z .
+        OPTIONAL {{ ?x ns1v1:applicable_to ?w }}
+    }}
+    """
+    return sparql(triples, q)
+
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _sparql_vernum_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-TYPED version-number literals (G11 typed-literal rule):
+    each part carries ns1:vernum "<p_partkey % 13>"^^xsd:integer —
+    lexical comparison would order "10" < "9", the typed numeric
+    comparison must not."""
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        F.concat(F.lit(DOMAIN + "P_"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit(DOMAIN + "vernum").alias("pred"),
+        (F.col("p_partkey") % 13).cast("string").alias("obj"),
+        F.lit(_XSD_INT).alias("obj_dt"),
+    )
+
+
+def q_kg_sparql_vernum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL numeric promotion (round-4): FILTER over integer-typed
+    literals compares NUMERICALLY — versions 10..12 beat "9" even
+    though every one of them is lexically smaller."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_vernum_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    prefix xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?s ?v
+    WHERE {{
+        ?s ns1:vernum ?v .
+        FILTER(?v > "9"^^xsd:integer)
+    }}
+    """
+    return sparql(triples, q)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_melt_part": q_kg_melt_part,
@@ -669,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_multi_source": q_kg_multi_source,
         "kg_sparql_version": q_kg_sparql_version,
         "kg_sparql_construct": q_kg_sparql_construct,
+        "kg_sparql_optional": q_kg_sparql_optional,
+        "kg_sparql_vernum": q_kg_sparql_vernum,
     }
 
 
@@ -1271,6 +1329,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS obj_dt
             FROM triples t
             JOIN triples s ON s.subj = t.pred AND s.pred = '{_SPO}'
+        """,
+        "kg_sparql_optional": f"""
+            WITH triples AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS subj,
+                     '{_SPARQL_V2}applicable_to' AS pred,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS obj
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_SPARQL_V2}applicable_to',
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_SPARQL_V1}applicable_to',
+                     '{_D}BR_' || translate(p_brand, '# ', '__')
+              FROM part WHERE p_partkey % 2 = 0
+            ),
+            sel AS (
+              SELECT subj AS x, obj AS z FROM triples
+              WHERE pred = '{_SPARQL_V2}applicable_to'
+            ),
+            opt AS (
+              SELECT subj AS x, obj AS w FROM triples
+              WHERE pred = '{_SPARQL_V1}applicable_to'
+            )
+            SELECT sel.x AS x, sel.z AS z, opt.w AS w
+            FROM sel LEFT JOIN opt ON opt.x = sel.x
+        """,
+        "kg_sparql_vernum": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
+                   CAST(p_partkey % 13 AS VARCHAR) AS v
+            FROM part WHERE p_partkey % 13 > 9
         """,
         "kg_melt_part": melt,
         "kg_sanitize_iri": f"""

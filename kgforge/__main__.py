@@ -30,6 +30,21 @@ import sys
 ONTO_REQ = "to-define-in-ontology.txt"
 
 
+def _tsv_escape(v) -> str:
+    """One TSV cell: web-extracted literals can contain tabs/newlines,
+    which would corrupt the row structure — escape them (and the
+    escape character itself) C-style, the SPARQL-TSV convention."""
+    if v is None:
+        return ""
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="kgforge", description="Declarative CSV/web → RDF triple engine"
@@ -81,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         else:  # SELECT -> TSV, streamed partition-at-a-time (a BGP
             print("\t".join(result.columns))  # dump can be table-sized)
             for r in result.toLocalIterator():
-                print("\t".join("" if v is None else str(v) for v in r))
+                print("\t".join(_tsv_escape(v) for v in r))
         return 0
     os.makedirs(args.out, exist_ok=True)
     results = run_config(spark, args.conf, mode=args.mode)

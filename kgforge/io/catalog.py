@@ -30,6 +30,37 @@ from pyspark.sql import DataFrame, SparkSession
 from kgforge.session import local_df
 
 
+def _bucketed_repartition(
+    df: DataFrame, salt_partitions: int | None, n_buckets: int | None = None
+) -> DataFrame:
+    """Exchange rows by subj_bucket, optionally salted — the
+    head-entity skew guard (the north rule's "salted repartitioning"):
+    a mega-hub subject puts ~all its rows in ONE subj_bucket, so
+    hashing on the bucket alone makes one write task the straggler.
+    Salting by a hash of the non-subject columns splits a hot bucket
+    across up to `salt_partitions` tasks; partition routing still sends
+    every row to the right bucket (a bucket simply receives files from
+    several tasks), and within-file sort order is preserved so subj
+    min/max row-group pruning keeps working."""
+    from pyspark.sql import functions as F
+
+    if salt_partitions and salt_partitions > 1:
+        salt = F.pmod(
+            F.xxhash64(
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in df.columns
+                  if c not in ("subj_bucket", "subj")]
+            ),
+            F.lit(int(salt_partitions)),
+        )
+        keys = [F.col("subj_bucket"), salt.alias("salt")]
+    else:
+        keys = [F.col("subj_bucket")]
+    if n_buckets is not None:
+        return df.repartition(n_buckets, *keys)
+    return df.repartition(*keys)
+
+
 class TripleSink(ABC):
     """Minimal storage contract for resumable bucketed triple writes."""
 
@@ -92,31 +123,7 @@ class ParquetLedgerSink(TripleSink):
         return lineage._repair_torn_buckets(self.spark, self.path, done)
 
     def append(self, df: DataFrame, max_records_per_file: int) -> None:
-        from pyspark.sql import functions as F
-
-        if self.salt_partitions and self.salt_partitions > 1:
-            # head-entity skew guard (the north rule's "salted
-            # repartitioning"): a mega-hub subject puts ~all its rows
-            # in ONE subj_bucket, so hashing on the bucket alone makes
-            # one write task the straggler. Salting by a hash of the
-            # non-subject columns splits a hot bucket across up to
-            # `salt_partitions` tasks; partitionBy still routes every
-            # row to the right bucket dir (a dir simply receives files
-            # from several tasks). Within-file sort order is kept, so
-            # per-file subj min/max row-group pruning still works.
-            salt = F.pmod(
-                F.xxhash64(
-                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                      for c in df.columns
-                      if c not in ("subj_bucket", "subj")]
-                ),
-                F.lit(int(self.salt_partitions)),
-            )
-            out = df.repartition(
-                self.n_buckets, F.col("subj_bucket"), salt.alias("salt")
-            )
-        else:
-            out = df.repartition(self.n_buckets, "subj_bucket")
+        out = _bucketed_repartition(df, self.salt_partitions, self.n_buckets)
         (
             out.sortWithinPartitions("subj_bucket", "subj", "pred", "obj")
             .write.mode("append")
@@ -162,7 +169,9 @@ class IcebergSnapshotSink(TripleSink):
 
     Protocol mapping (each commit is an Iceberg snapshot, so the ledger
     lives next to the data table as a second Iceberg table):
-      append        df.writeTo(table).append() — one snapshot
+      append        create-if-absent PARTITIONED BY (subj_bucket) with
+                    write.distribution-mode=hash, then
+                    df.writeTo(table).append() — one snapshot
       commit        writeTo(table + '_lineage').append() — the lineage
                     snapshot is the durability point, same as the
                     parquet ledger append
@@ -171,9 +180,25 @@ class IcebergSnapshotSink(TripleSink):
       repair        DELETE WHERE subj_bucket IN (torn) — or, when the
                     torn write is the latest snapshot, a rollback via
                     CALL catalog.system.rollback_to_snapshot
+
+    Tables are auto-created on the first append, PARTITIONED BY
+    subj_bucket (bucket_census/repair depend on that layout — a
+    PRE-created table must use the same partition spec). The parquet
+    sink's max_records_per_file knob has no Iceberg equivalent (the
+    Spark-Iceberg writer rolls files by BYTES, not records): it maps
+    to `target_file_size_bytes`, written as the
+    write.target-file-size-bytes table property at creation.
+    `salt_partitions` applies the same head-entity salting as the
+    parquet sink before the write exchange.
     """
 
-    def __init__(self, spark: SparkSession, table: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        salt_partitions: int | None = None,
+        target_file_size_bytes: int | None = None,
+    ):
         if not _iceberg_runtime_available(spark):
             raise RuntimeError(
                 "catalog='iceberg' requires the Iceberg Spark runtime "
@@ -185,10 +210,31 @@ class IcebergSnapshotSink(TripleSink):
             )
         self.spark = spark
         self.table = table
+        self.salt_partitions = salt_partitions
+        self.target_file_size_bytes = target_file_size_bytes
 
     @property
     def _lineage_table(self) -> str:
         return self.table + "_lineage"
+
+    def _create_partitioned(self, df: DataFrame) -> None:
+        """First write: CREATE the table from `df`, PARTITIONED BY
+        subj_bucket (identity partition — census/repair address buckets
+        through the partition spec), hash distribution so each bucket's
+        rows land in one write task, and the size-based file-rolling
+        property standing in for the parquet sink's record cap."""
+        from pyspark.sql import functions as F
+
+        writer = (
+            df.writeTo(self.table)
+            .partitionedBy(F.col("subj_bucket"))
+            .tableProperty("write.distribution-mode", "hash")
+        )
+        if self.target_file_size_bytes:
+            writer = writer.tableProperty(
+                "write.target-file-size-bytes", str(int(self.target_file_size_bytes))
+            )
+        writer.create()
 
     def completed(self, stage: str) -> set[int]:
         from pyspark.sql import functions as F
@@ -213,12 +259,15 @@ class IcebergSnapshotSink(TripleSink):
         return torn
 
     def append(self, df: DataFrame, max_records_per_file: int) -> None:
-        (
-            df.repartition("subj_bucket")
-            .sortWithinPartitions("subj", "pred", "obj")
-            .writeTo(self.table)
-            .append()
+        # max_records_per_file is a parquet-sink knob; Iceberg rolls
+        # files by bytes (see class docstring / target_file_size_bytes)
+        out = _bucketed_repartition(df, self.salt_partitions).sortWithinPartitions(
+            "subj_bucket", "subj", "pred", "obj"
         )
+        if not self.spark.catalog.tableExists(self.table):
+            self._create_partitioned(out)
+            return
+        out.writeTo(self.table).append()
 
     def bucket_census(self) -> set[int]:
         if not self.spark.catalog.tableExists(self.table):
@@ -236,9 +285,13 @@ class IcebergSnapshotSink(TripleSink):
         )
 
     def commit(self, stage: str, lineage_rows: list[tuple]) -> None:
-        local_df(
+        ldf = local_df(
             self.spark, lineage_rows, ParquetLedgerSink.LINEAGE_SCHEMA
-        ).coalesce(1).writeTo(self._lineage_table).append()
+        ).coalesce(1)
+        if not self.spark.catalog.tableExists(self._lineage_table):
+            ldf.writeTo(self._lineage_table).create()  # ledger: unpartitioned
+            return
+        ldf.writeTo(self._lineage_table).append()
 
 
 def resolve_sink(
@@ -254,5 +307,5 @@ def resolve_sink(
     if catalog == "parquet":
         return ParquetLedgerSink(spark, path, n_buckets, salt_partitions)
     if catalog == "iceberg":
-        return IcebergSnapshotSink(spark, path)
+        return IcebergSnapshotSink(spark, path, salt_partitions=salt_partitions)
     raise ValueError(f"unknown catalog {catalog!r} (expected parquet|iceberg)")

@@ -15,11 +15,13 @@ triple table is consumable WITHOUT an external reasoner:
 
 Rule ordering is a sound single pass for this subset: prp-spo1 first
 (so domain/range see inherited predicates), then rdfs2/rdfs3 over the
-widened property triples, then cax-sco over base PLUS domain/range-
-derived types (so derived types inherit up the closed hierarchy).
-The only chains that would need a second pass are meta-schema cases
-(domain/range declared ON rdf:type or the rdfs vocabulary itself),
-which the reference's Jena setup never exercises.
+widened property triples, then cax-sco over base PLUS derived types —
+domain/range entailments AND rdf:type rows minted by prp-spo1 (a
+property declared subPropertyOf rdf:type), so derived types inherit up
+the closed hierarchy. The only chains that would need a second pass
+are deeper meta-schema cases (domain/range declared ON rdf:type or the
+rdfs vocabulary itself), which the reference's Jena setup never
+exercises.
 
 Scale shape: the SCHEMA (hierarchy edges) is grammar-sized — thousands
 of nodes at most, never corpus-sized — so the closure loop runs on a
@@ -244,12 +246,20 @@ def rdfs_closure(
         )
     )
 
-    # cax-sco over base AND domain/range-derived types, so e.g.
-    # (p domain C) ∧ (C subClassOf+ D) ∧ (s p o) yields (s type D)
+    # cax-sco over base AND derived types: domain/range entailments
+    # plus rdf:type rows produced by prp-spo1 (a property declared
+    # rdfs:subPropertyOf rdf:type — (s p C) with p ⊑ rdf:type and
+    # C subClassOf+ D must yield (s rdf:type D)); only IRI-valued
+    # objects can name classes (same guard as rdfs3)
     all_types = (
         base.filter(F.col("pred") == RDF_TYPE)
         .select(*TRIPLE_FIELDS)
         .unionByName(dr_types)
+        .unionByName(
+            inherited_props.filter(
+                (F.col("pred") == RDF_TYPE) & F.col("obj_dt").isNull()
+            ).select(*TRIPLE_FIELDS)
+        )
     )
     inherited_types = all_types.join(
         broadcast(sco), F.col("obj") == F.col("src")

@@ -13,8 +13,8 @@ straight to Catalyst plans:
             CONSTRUCT { template } WHERE { group }
             INSERT { template } WHERE { group }       (same as CONSTRUCT)
             group := triple patterns ('.'-separated, ';'/',' lists,
-                     `a` == rdf:type) | MINUS { group } | FILTER(expr)
-                     | nested { group }
+                     `a` == rdf:type) | OPTIONAL { group }
+                     | MINUS { group } | FILTER(expr) | nested { group }
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens; operands
                      are ?vars, IRIs/pnames, "literals", numbers
 
@@ -32,11 +32,23 @@ straight to Catalyst plans:
             side that derives from instance triples is instance-scale,
             so the anti-join itself is a sort-merge join by design
             (AQE demotes it to broadcast at runtime when it is small).
-            FILTER compiles to a Column predicate; comparisons are
-            string-wise (SPARQL simple-literal semantics) unless a
-            bare numeric constant appears, which switches that
-            comparison to numeric — typed-literal numeric promotion
-            is out of subset.
+            OPTIONAL compiles to a LEFT OUTER join on the shared
+            variables (null-safe, datatype-reconciled like MINUS);
+            within a group, optionals apply after the group's own
+            patterns, then MINUS, then FILTER. An OPTIONAL sharing no
+            variable with the group is out of subset (rejected).
+            FILTER comparisons follow SPARQL operator-mapping as far
+            as the subset carries types: when both operands are
+            numeric — a bare numeric constant, a literal typed with a
+            numeric XSD datatype (the G11 grammar set xsd:integer/
+            xsd:float, csv2rdf-v5/csv2rdf-v5.py:47-53, plus the
+            standard XSD numeric family), or a variable whose bound
+            datatype is numeric AT THAT ROW — the comparison is
+            numeric ("10" > "9" holds for integer-typed versions);
+            otherwise it is string-wise (simple-literal/IRI
+            semantics). A numeric-typed literal whose lexical form
+            doesn't parse is a SPARQL type error: the row is dropped
+            (try_cast -> NULL -> filter false).
 
 RDF term typing rides along: a variable bound in object position
 carries a hidden `<var>__dt` column (None = IRI, '' = plain literal,
@@ -48,9 +60,14 @@ to `obj_dt IS NULL` in-plan instead of carrying a shadow column (the
 MINUS boundary reconciles sides that disagree on a variable's kind).
 
 SELECT returns the lexical values (one column per variable, SPARQL
-projection order). CONSTRUCT/INSERT return a deduped
-(subj, pred, obj, obj_dt) triple DataFrame; `insert()` unions it back
-into the source table.
+projection order); DISTINCT is TERM-based (the hidden datatype shadows
+participate in the distinct, then are dropped — "5" plain and
+"5"^^xsd:integer are two solutions, even though both print as "5").
+CONSTRUCT/INSERT return a deduped (subj, pred, obj, obj_dt) triple
+DataFrame; `insert()` unions it back into the source table. A template
+subject/predicate variable that binds a literal skips ONLY that
+instantiated triple (per-triple filter at instantiation), not the
+solution's other template triples — the SPARQL ill-formed-triple rule.
 """
 
 from __future__ import annotations
@@ -104,6 +121,7 @@ class Group:
     patterns: list[tuple[Term, Term, Term]] = field(default_factory=list)
     filters: list["Expr"] = field(default_factory=list)
     minuses: list["Group"] = field(default_factory=list)
+    optionals: list["Group"] = field(default_factory=list)
 
     def all_vars(self) -> list[str]:
         """Variables of this group's own patterns, first-seen order."""
@@ -330,6 +348,9 @@ class _Parser:
             if self.at("kw", "minus"):
                 self.next()
                 g.minuses.append(self._group())
+            elif self.at("kw", "optional"):
+                self.next()
+                g.optionals.append(self._group())
             elif self.at("kw", "filter"):
                 self.next()
                 self.expect("op", "(")
@@ -341,10 +362,11 @@ class _Parser:
                 g.patterns += inner.patterns
                 g.filters += inner.filters
                 g.minuses += inner.minuses
+                g.optionals += inner.optionals
             elif self.at("op", "."):
                 self.next()
-            elif self.at("kw", "optional") or self.at("kw", "union"):
-                raise ValueError(f"{self.peek()[1].upper()} not supported")
+            elif self.at("kw", "union"):
+                raise ValueError("UNION not supported")
             else:
                 self._triple_lists(g.patterns)
         self.expect("op", "}")
@@ -447,6 +469,14 @@ class _Parser:
         if k == "pname":
             return Iri(self._expand(v))
         if k == "lit":
+            if self.at("op", "^^"):  # typed literal, same as _term
+                self.next()
+                dk, dv = self.next()
+                if dk == "iri":
+                    return Lit(v, dv)
+                if dk == "pname":
+                    return Lit(v, self._expand(dv))
+                raise ValueError(f"bad datatype token {dk}:{dv!r}")
             return Lit(v)
         if k == "num":
             return float(v)
@@ -558,20 +588,63 @@ def _join_step(acc: DataFrame | None, pdf: DataFrame) -> DataFrame:
     return joined.select(keep)
 
 
-def _compile_group(
-    triples: DataFrame, g: Group, extra_iri_only: set[str] | frozenset = frozenset()
-) -> DataFrame:
+def _boundary_cond(
+    l_cols: list[str], r_cols: list[str], shared: list[str]
+) -> F.Column:
+    """Null-safe, datatype-reconciled match condition between an
+    accumulated binding set (_l) and a sub-group's (_r): shared vars
+    compare null-safely, dt shadows join when both sides carry them,
+    and a side that bound the var IRI-only (no shadow) forces the
+    other side's shadow NULL — only IRI terms match."""
+    cond = F.lit(True)
+    for v in shared:
+        cond = cond & F.col(f"_l.{v}").eqNullSafe(F.col(f"_r.{v}"))
+        sh = _dt_shadow(v)
+        l_sh, r_sh = sh in l_cols, sh in r_cols
+        if l_sh and r_sh:  # both sides carry the term's datatype
+            cond = cond & F.col(f"_l.{sh}").eqNullSafe(F.col(f"_r.{sh}"))
+        elif l_sh:  # sub-group bound v as an IRI — only IRI
+            cond = cond & F.col(f"_l.{sh}").isNull()  # terms match
+        elif r_sh:  # outer side bound v as an IRI
+            cond = cond & F.col(f"_r.{sh}").isNull()
+    return cond
+
+
+def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
     if not g.patterns:
         raise ValueError("empty group graph pattern")
-    iri_only = _iri_only_vars(g) | set(extra_iri_only)
+    iri_only = _iri_only_vars(g)
     acc: DataFrame | None = None
     for pat in g.patterns:
         acc = _join_step(acc, _compile_pattern(triples, pat, iri_only))
     assert acc is not None
+    for opt in g.optionals:
+        # OPTIONAL = left outer join; the optional side computes its
+        # OWN iri-only set (an occurrence inside OPTIONAL must not
+        # restrict the outer group's bindings — non-matching solutions
+        # survive with unbound vars)
+        odf = _compile_group(triples, opt)
+        shared = sorted(
+            c
+            for c in set(acc.columns) & set(odf.columns)
+            if not c.startswith("__dt_")
+        )
+        if not shared:
+            raise ValueError(
+                "OPTIONAL sharing no variable with its group is out of "
+                "subset (would be a cartesian extension)"
+            )
+        cond = _boundary_cond(acc.columns, odf.columns, shared)
+        new_cols = [c for c in odf.columns if c not in set(acc.columns)]
+        joined = acc.alias("_l").join(odf.alias("_r"), cond, "left_outer")
+        acc = joined.select(
+            [F.col(f"_l.{c}").alias(c) for c in acc.columns]
+            + [F.col(f"_r.{c}").alias(c) for c in new_cols]
+        )
     for m in g.minuses:
         # the MINUS side computes its OWN iri-only set; the boundary
-        # below reconciles sides that disagree on a shared variable's
-        # term kind (one side shadowed, the other IRI-only)
+        # reconciles sides that disagree on a shared variable's term
+        # kind (one side shadowed, the other IRI-only)
         mdf = _compile_group(triples, m)
         shared = sorted(
             c
@@ -583,24 +656,14 @@ def _compile_group(
         keep = shared + [
             _dt_shadow(v) for v in shared if _dt_shadow(v) in mdf.columns
         ]
-        cond = F.lit(True)
-        for v in shared:
-            cond = cond & F.col(f"_l.{v}").eqNullSafe(F.col(f"_r.{v}"))
-            sh = _dt_shadow(v)
-            l_sh, r_sh = sh in acc.columns, sh in mdf.columns
-            if l_sh and r_sh:  # both sides carry the term's datatype
-                cond = cond & F.col(f"_l.{sh}").eqNullSafe(F.col(f"_r.{sh}"))
-            elif l_sh:  # MINUS side bound v as an IRI — only IRI
-                cond = cond & F.col(f"_l.{sh}").isNull()  # terms match
-            elif r_sh:  # outer side bound v as an IRI
-                cond = cond & F.col(f"_r.{sh}").isNull()
+        cond = _boundary_cond(acc.columns, mdf.columns, shared)
         acc = acc.alias("_l").join(
             broadcast_if_schema_only(m, mdf.select(keep)).alias("_r"),
             cond,
             "left_anti",
         )
     for f_expr in g.filters:
-        acc = acc.filter(_compile_expr(f_expr))
+        acc = acc.filter(_compile_expr(f_expr, set(acc.columns)))
     return acc
 
 
@@ -614,6 +677,18 @@ def broadcast_if_schema_only(g: Group, mdf: DataFrame) -> DataFrame:
     return mdf
 
 
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+#: datatypes whose literals compare numerically — the grammar's G11
+#: numeric types (xsd:integer / xsd:float, csv2rdf-v5/csv2rdf-v5.py:
+#: 47-53) plus the rest of the standard XSD numeric family a consumer
+#: may add by hand
+_NUMERIC_DTS = frozenset(
+    _XSD_NS + t
+    for t in ("integer", "float", "decimal", "double", "long", "int",
+              "short", "byte", "nonNegativeInteger", "positiveInteger")
+)
+
+
 def _operand_col(x: Term | float) -> F.Column:
     if isinstance(x, Var):
         return F.col(x.name)
@@ -624,21 +699,57 @@ def _operand_col(x: Term | float) -> F.Column:
     return F.lit(x)  # number
 
 
-def _compile_expr(e: Expr) -> F.Column:
+def _operand_numeric(x: Term | float, cols: set[str]):
+    """(is-numeric Column, static truth or None-if-row-dependent) for
+    a FILTER operand: bare numbers always, typed literals by their
+    declared datatype, variables by their dt shadow AT EACH ROW (a var
+    with no shadow bound an IRI — never numeric)."""
+    if isinstance(x, float):
+        return F.lit(True), True
+    if isinstance(x, Lit):
+        is_num = x.dt in _NUMERIC_DTS
+        return F.lit(is_num), is_num
+    if isinstance(x, Var):
+        sh = _dt_shadow(x.name)
+        if sh in cols:
+            return F.col(sh).isin(*sorted(_NUMERIC_DTS)), None
+        return F.lit(False), False
+    return F.lit(False), False  # Iri
+
+
+def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
     if isinstance(e, Cmp):
         lhs, rhs = _operand_col(e.left), _operand_col(e.right)
-        if isinstance(e.left, float) or isinstance(e.right, float):
-            lhs, rhs = lhs.cast("double"), rhs.cast("double")
-        ops = {
-            "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
-            "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
-        }
-        return ops[e.op]
+        l_num, l_static = _operand_numeric(e.left, cols)
+        r_num, r_static = _operand_numeric(e.right, cols)
+
+        def _ops(left: F.Column, right: F.Column) -> F.Column:
+            return {
+                "=": left == right, "!=": left != right, "<": left < right,
+                "<=": left <= right, ">": left > right, ">=": left >= right,
+            }[e.op]
+
+        # try_cast, not cast: a numeric-typed literal with a junk
+        # lexical form is a SPARQL type error (row filtered), not an
+        # ANSI runtime exception
+        num_cmp = _ops(lhs.try_cast("double"), rhs.try_cast("double"))
+        str_cmp = _ops(lhs, rhs)
+        bare_const = isinstance(e.left, float) or isinstance(e.right, float)
+        if (l_static and r_static) or bare_const:
+            # both certainly numeric — or the query wrote a bare
+            # number, which forces the numeric reading (pre-round-4
+            # subset behavior, kept: it is what the reference's ad-hoc
+            # queries rely on for untyped version literals)
+            return num_cmp
+        if l_static is False or r_static is False:
+            return str_cmp  # a side can never be numeric
+        # row-dependent: numeric when BOTH terms are numeric there
+        return F.when(l_num & r_num, num_cmp).otherwise(str_cmp)
     if isinstance(e, BoolOp):
-        a, b = (_compile_expr(x) for x in e.args)
+        a, b = (_compile_expr(x, cols) for x in e.args)
         return (a & b) if e.op == "and" else (a | b)
     if isinstance(e, Not):
-        return ~_compile_expr(e.arg)
+        return ~_compile_expr(e.arg, cols)
     raise ValueError(f"unknown expr {e!r}")
 
 
@@ -656,13 +767,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     the result to `insert()` to union it back into the table).
     """
     q = parse(query)
-    extra: set[str] = set()
-    if q.template:  # template s/p vars must bind IRIs
-        for s, p, _o in q.template:
-            for t in (s, p):
-                if isinstance(t, Var):
-                    extra.add(t.name)
-    bound = _compile_group(triples, q.group, extra)
+    bound = _compile_group(triples, q.group)
 
     if q.form == "select":
         out_vars = q.select_vars
@@ -684,9 +789,14 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             )
 
         if q.distinct:
-            # spec: DISTINCT applies to the projected rows, and ORDER BY
-            # may then only use projected variables
-            out = bound.select(*out_vars).distinct()
+            # spec: DISTINCT applies to the projected SOLUTIONS — terms,
+            # not lexical forms: the dt shadows participate in the
+            # distinct then drop ("5" plain vs "5"^^xsd:integer stay
+            # two rows). ORDER BY may then only use projected variables.
+            shadows = [
+                _dt_shadow(v) for v in out_vars if _dt_shadow(v) in bound.columns
+            ]
+            out = bound.select(*out_vars, *shadows).distinct().select(*out_vars)
             if q.order:
                 out = _order(out)
         else:
@@ -728,6 +838,19 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
                 return F.lit(term.value)
             return F.lit(term.value)
 
+        # the SPARQL ill-formed-triple rule, applied PER template
+        # triple: a solution whose binding for THIS triple's subject/
+        # predicate var is a literal skips only this instantiation —
+        # its other template triples still materialize (round-3 advice:
+        # the old whole-binding-set pre-filter dropped those too)
+        part = bound
+        for t in (s, p):
+            if isinstance(t, Var) and _dt_shadow(t.name) in bound.columns:
+                part = part.filter(F.col(_dt_shadow(t.name)).isNull())
+        for t in (s, p, o):
+            # a var left unbound by OPTIONAL skips this instantiation
+            if isinstance(t, Var) and t.name in bound.columns:
+                part = part.filter(F.col(t.name).isNotNull())
         if isinstance(o, Var) and _dt_shadow(o.name) in bound.columns:
             o_dt = F.col(_dt_shadow(o.name))
         elif isinstance(o, Lit):
@@ -735,7 +858,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         else:
             o_dt = null_dt
         parts.append(
-            bound.select(
+            part.select(
                 val(s).alias("subj"),
                 val(p).alias("pred"),
                 val(o).alias("obj"),

@@ -20,6 +20,13 @@ Two streams:
   query) as a watermarked streaming aggregation: 1-hour tumbling
   windows, late events accepted up to the watermark, append mode
   emits each window once, when it closes.
+
+`compact_mentions` is the other half of the stream's contract: the
+global dedup the stream defers lands here, folding the raw append feed
+into the deduped, bucketed, lineage-audited triple table via
+copy-on-write snapshots (stream batch → compact → stream → compact is
+equivalent to one batch run over everything; tested in
+tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -115,3 +122,78 @@ def stream_events_hourly(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+MENTION_COLS = ["subj", "pred", "obj", "obj_dt", "prov_url", "warc_ts"]
+
+
+def compact_mentions(
+    spark: SparkSession,
+    raw_path: str,
+    table_root: str,
+    n_buckets: int = 16,
+    salt_partitions: int | None = None,
+    collapse_prov: bool = True,
+):
+    """Fold the streamed raw mention-triple feed into the deduped,
+    bucketed triple table — the GLOBAL dedup `stream_mention_triples`
+    deliberately defers (a streaming global distinct would keep
+    unbounded state; a compaction pass is one bounded shuffle).
+
+    Copy-on-write snapshot compaction: run k reads the FULL raw feed,
+    dedups it — collapse_prov=True keeps one row per distinct triple
+    with min provenance (the batch `extract_mention_triples(dedup=
+    True)` contract); False keeps one row per (triple, provenance),
+    the lineage-table shape — then materializes into a fresh snapshot
+    dir <root>/snap_k with the standard bucket-level lineage machinery
+    (kgforge.lineage.materialize_triples) and finally flips the
+    <root>/_current pointer. Readers (`read_compacted`) see the
+    previous snapshot until the flip; a crashed run leaves the pointer
+    untouched and either resumes bucket-by-bucket inside its snapshot
+    or is superseded by the next compaction, which re-reads the full
+    feed (nothing is ever lost to a torn run).
+
+    Scale posture: the full re-read per compaction is the
+    parquet-ledger realization — right when compactions are spaced so
+    the raw feed stays O(table). The Iceberg sink binds the same
+    protocol to snapshot commits (pointer flip == snapshot commit);
+    callers prune the raw feed to the compaction horizon.
+
+    Returns (snapshot_path, materialize metrics)."""
+    from kgforge.io.fs import path_exists, read_text, write_text
+    from kgforge.lineage import materialize_triples
+
+    root = table_root.rstrip("/")
+    ptr = root + "/_current"
+    prev = read_text(spark, ptr).strip() if path_exists(spark, ptr) else None
+    k = int(prev.rsplit("_", 1)[1]) + 1 if prev else 0
+    snap = f"{root}/snap_{k}"
+
+    raw = spark.read.parquet(raw_path).select(*MENTION_COLS)
+    if collapse_prov:
+        deduped = raw.groupBy("subj", "pred", "obj", "obj_dt").agg(
+            F.min("prov_url").alias("prov_url"),
+            F.min("warc_ts").alias("warc_ts"),
+        )
+    else:
+        deduped = raw.dropDuplicates(MENTION_COLS)
+    metrics = materialize_triples(
+        deduped,
+        snap,
+        stage="compact",
+        n_buckets=n_buckets,
+        salt_partitions=salt_partitions,
+    )
+    write_text(spark, ptr, f"snap_{k}")
+    return snap, metrics
+
+
+def read_compacted(spark: SparkSession, table_root: str) -> DataFrame | None:
+    """The current compacted snapshot (None before first compaction)."""
+    from kgforge.io.fs import path_exists, read_text
+
+    root = table_root.rstrip("/")
+    ptr = root + "/_current"
+    if not path_exists(spark, ptr):
+        return None
+    return spark.read.parquet(f"{root}/{read_text(spark, ptr).strip()}")

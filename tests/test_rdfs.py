@@ -154,3 +154,20 @@ columntype = part_description
     assert checked > 0, "fixture must contain instance triples of declared preds"
     # literal cells (ADT strings) must not appear as typed subjects
     assert not any(s in ("first part", "second part") for s, p, o, dt in out)
+
+
+def test_rdfs_subproperty_of_rdf_type_feeds_cax_sco(spark):
+    """(s p C) with p ⊑ rdf:type and C subClassOf+ D must yield
+    (s rdf:type D): prp-spo1-minted type rows join cax-sco too
+    (round-3 advice fix)."""
+    rows = [
+        ("p:instanceOf", RDFS_SUBPROPERTYOF, RDF_TYPE, None),
+        ("c:Cat", RDFS_SUBCLASSOF, "c:Animal", None),
+        ("e:tom", "p:instanceOf", "c:Cat", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_dt string"
+    )
+    out = {tuple(r) for r in rdfs_closure(df).collect()}
+    assert ("e:tom", RDF_TYPE, "c:Cat", None) in out       # prp-spo1
+    assert ("e:tom", RDF_TYPE, "c:Animal", None) in out    # + cax-sco

@@ -261,8 +261,8 @@ def test_cross_join_when_patterns_share_nothing(spark):
 
 
 def test_parse_errors():
-    with pytest.raises(ValueError, match="OPTIONAL not supported"):
-        parse("SELECT ?x WHERE { OPTIONAL { ?x <p> ?y } }")
+    with pytest.raises(ValueError, match="UNION not supported"):
+        parse("SELECT ?x WHERE { { ?x <p> ?y } UNION { ?x <q> ?y } }")
     with pytest.raises(ValueError, match="undeclared prefix"):
         parse("SELECT ?x WHERE { ?x foo:bar ?y }")
     with pytest.raises(ValueError, match="SELECT needs"):
@@ -403,3 +403,154 @@ def test_ast_term_kinds():
     (s1, p1, o1), (s2, p2, o2) = q.group.patterns
     assert s1 == Var("a") and p1 == Iri("http://x/p") and o1 == Lit("lit")
     assert p2 == Iri("http://x/q") and o2 == Var("b")
+
+
+# ----------------------------------------------------- round-4 surface
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_optional_left_join(spark):
+    """OPTIONAL keeps non-matching solutions with the optional vars
+    unbound (NULL), and extends matching ones."""
+    rows = [
+        ("a", "p", "1", ""),
+        ("b", "p", "2", ""),
+        ("a", "label", "Alpha", ""),
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?s ?v ?l WHERE { ?s <p> ?v . OPTIONAL { ?s <label> ?l } }"
+    got = {(r.s, r.v, r.l) for r in sparql(df, q).collect()}
+    assert got == {("a", "1", "Alpha"), ("b", "2", None)}
+
+
+def test_optional_multiplies_matches_and_dt_reconciles(spark):
+    """Two optional matches → two extended solutions; a literal-valued
+    outer binding never matches an optional that binds the var in
+    subject position (IRI-only), but the solution itself survives."""
+    rows = [
+        ("a", "p", "x", None),        # IRI object
+        ("d", "p", "lit", ""),        # literal object
+        ("x", "q", "q1", ""),
+        ("x", "q", "q2", ""),
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?s ?o ?w WHERE { ?s <p> ?o . OPTIONAL { ?o <q> ?w } }"
+    got = {(r.s, r.o, r.w) for r in sparql(df, q).collect()}
+    assert got == {("a", "x", "q1"), ("a", "x", "q2"), ("d", "lit", None)}
+
+
+def test_optional_disjoint_rejected(spark):
+    df = _triples(spark, [("a", "p", "1", "")])
+    with pytest.raises(ValueError, match="OPTIONAL sharing no variable"):
+        sparql(df, "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?x <q> ?y } }").collect()
+
+
+def test_filter_numeric_promotion_typed_integers(spark):
+    """Integer-typed literals compare NUMERICALLY: version "10" beats
+    "9" (lexically "10" < "9") — the round-3 verdict's G11 gap."""
+    rows = [
+        ("r1", "ver", "9", XSD + "integer"),
+        ("r2", "ver", "10", XSD + "integer"),
+        ("r3", "ver", "2", XSD + "integer"),
+    ]
+    df = _triples(spark, rows)
+    q = f'SELECT ?s WHERE {{ ?s <ver> ?v . FILTER(?v > "9"^^<{XSD}integer>) }}'
+    assert {r.s for r in sparql(df, q).collect()} == {"r2"}
+    # both vars, row-dependent promotion through a self-join
+    q2 = "SELECT ?a ?b WHERE { ?a <ver> ?x . ?b <ver> ?y . FILTER(?x < ?y) }"
+    got = {(r.a, r.b) for r in sparql(df, q2).collect()}
+    assert got == {("r1", "r2"), ("r3", "r1"), ("r3", "r2")}
+
+
+def test_filter_string_vs_numeric_rows_mixed(spark):
+    """Plain literals keep string comparison in the SAME query where
+    integer-typed rows compare numerically (per-row promotion)."""
+    rows = [
+        ("n1", "v", "10", XSD + "integer"),
+        ("n2", "v", "9", XSD + "integer"),
+        ("s1", "v", "10", ""),   # plain literals: lexical ordering
+        ("s2", "v", "9", ""),
+    ]
+    df = _triples(spark, rows)
+    q = 'SELECT ?s WHERE { ?s <v> ?x . FILTER(?x < "9") }'
+    # typed "10"^^int vs plain "9" → mixed kinds → string compare "10"<"9" true;
+    # typed 9 is NOT < "9"; plain "10" < "9" lexically true
+    assert {r.s for r in sparql(df, q).collect()} == {"n1", "s1"}
+
+
+def test_filter_numeric_type_error_drops_row(spark):
+    """A numeric-typed literal with a junk lexical form is a SPARQL
+    type error: the row is dropped, not a runtime crash (try_cast)."""
+    rows = [
+        ("ok", "v", "5", XSD + "integer"),
+        ("bad", "v", "junk", XSD + "integer"),
+    ]
+    df = _triples(spark, rows)
+    q = 'SELECT ?s WHERE { ?s <v> ?x . FILTER(?x >= "1"^^<' + XSD + 'integer>) }'
+    assert {r.s for r in sparql(df, q).collect()} == {"ok"}
+
+
+def test_select_distinct_is_term_based(spark):
+    """"5" plain and "5"^^xsd:integer are DIFFERENT terms: DISTINCT
+    keeps both solutions even though they project the same lexical."""
+    rows = [
+        ("a", "p", "5", ""),
+        ("b", "p", "5", XSD + "integer"),
+        ("c", "p", "5", ""),  # duplicate term of a's → collapses
+    ]
+    df = _triples(spark, rows)
+    got = [r.v for r in sparql(df, "SELECT DISTINCT ?v WHERE { ?s <p> ?v }").collect()]
+    assert sorted(got) == ["5", "5"]
+
+
+def test_construct_ill_formed_skips_only_that_triple(spark):
+    """A solution whose template-subject var binds a literal loses only
+    that instantiated triple; its other template triples materialize
+    (round-3 advice: the old pre-filter dropped the whole solution)."""
+    rows = [
+        ("a", "p", "x", None),    # ?o = IRI  → both template triples
+        ("b", "p", "lit", ""),    # ?o = literal → only the second
+    ]
+    df = _triples(spark, rows)
+    q = """CONSTRUCT { ?o <derived> ?s . ?s <seen> "y" }
+           WHERE { ?s <p> ?o }"""
+    got = {(r.subj, r.pred, r.obj) for r in sparql(df, q).collect()}
+    assert got == {
+        ("x", "derived", "a"),
+        ("a", "seen", "y"),
+        ("b", "seen", "y"),
+    }
+
+
+def test_construct_skips_unbound_optional_var(spark):
+    rows = [
+        ("a", "p", "1", ""),
+        ("a", "label", "Alpha", ""),
+        ("b", "p", "2", ""),
+    ]
+    df = _triples(spark, rows)
+    q = """CONSTRUCT { ?s <hasLabel> ?l . ?s <present> "y" }
+           WHERE { ?s <p> ?v . OPTIONAL { ?s <label> ?l } }"""
+    got = {(r.subj, r.pred, r.obj) for r in sparql(df, q).collect()}
+    assert got == {
+        ("a", "hasLabel", "Alpha"),
+        ("a", "present", "y"),
+        ("b", "present", "y"),
+    }
+
+
+def test_cli_tsv_escapes_control_chars(spark, tmp_path, capsys):
+    """Literals with tabs/newlines (web-extracted text) must not break
+    the TSV row structure of query-mode output."""
+    from kgforge.__main__ import main
+    from kgforge.io.write import write_triples
+
+    rows = [("a", "p", "line1\nline2\tcol", ""), ("b", "p", "back\\slash", "")]
+    tpath = str(tmp_path / "t")
+    write_triples(_triples(spark, rows), tpath, n_buckets=1)
+    q = tmp_path / "q.rq"
+    q.write_text("SELECT ?o WHERE { ?s <p> ?o }")
+    assert main(["--sparql", str(q), "--triples", tpath]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert sorted(lines[1:]) == ["back\\\\slash", "line1\\nline2\\tcol"]
+    assert all("\t" not in ln for ln in lines[1:])

@@ -104,3 +104,63 @@ def test_streaming_events_hourly_matches_batch_closed_windows(spark, tmp_path):
         k for k in want if k[0] <= closed_cutoff and k not in got
     ]
     assert not missing, f"closed windows not emitted: {missing[:3]}"
+
+
+def test_stream_compact_incremental_equals_one_shot_batch(spark, tmp_path):
+    """The deferred-global-dedup contract end-to-end: stream batch 1 →
+    compact → stream batch 2 → compact must equal ONE batch run over
+    all pages (extract_mention_triples(dedup=True)), with each
+    snapshot lineage-audited and the pointer flipping atomically."""
+    from kgforge.lineage import verify_lineage
+    from kgforge.streaming import compact_mentions, read_compacted
+
+    src = str(tmp_path / "pages_feed")
+    raw = str(tmp_path / "raw_triples")
+    cp = str(tmp_path / "cp")
+    root = str(tmp_path / "table")
+
+    c1 = make_corpus(n_pages=40, seed=1)
+    c2 = make_corpus(n_pages=30, seed=2)
+
+    def batch_truth(*corpora):
+        pages = None
+        for c in corpora:
+            p = pages_dataframe(spark, c).select("url", "warc_ts", "text", "lang")
+            pages = p if pages is None else pages.unionByName(p)
+        return sorted(
+            (r.subj, r.pred, r.obj, r.obj_dt, r.prov_url)
+            for r in extract_mention_triples(pages, text_col="text", dedup=True)
+            .select("subj", "pred", "obj", "obj_dt", "prov_url")
+            .collect()
+        )
+
+    assert read_compacted(spark, root) is None  # nothing compacted yet
+
+    # batch 1: stream → compact
+    _write_pages_batch(spark, c1, src)
+    stream_mention_triples(spark, src, raw, cp, text_from_html=False).awaitTermination(120)
+    snap1, m1 = compact_mentions(spark, raw, root)
+    assert m1["rows_written"] > 0
+    got1 = sorted(
+        (r.subj, r.pred, r.obj, r.obj_dt, r.prov_url)
+        for r in read_compacted(spark, root)
+        .select("subj", "pred", "obj", "obj_dt", "prov_url")
+        .collect()
+    )
+    assert got1 == batch_truth(c1)
+    assert verify_lineage(spark, snap1, stage="compact")
+
+    # batch 2 arrives: same checkpoint streams only the new files,
+    # the next compaction folds everything
+    _write_pages_batch(spark, c2, src)
+    stream_mention_triples(spark, src, raw, cp, text_from_html=False).awaitTermination(120)
+    snap2, m2 = compact_mentions(spark, raw, root)
+    assert snap2 != snap1  # copy-on-write: a NEW snapshot
+    got2 = sorted(
+        (r.subj, r.pred, r.obj, r.obj_dt, r.prov_url)
+        for r in read_compacted(spark, root)
+        .select("subj", "pred", "obj", "obj_dt", "prov_url")
+        .collect()
+    )
+    assert got2 == batch_truth(c1, c2)
+    assert verify_lineage(spark, snap2, stage="compact")
