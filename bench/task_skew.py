@@ -45,21 +45,23 @@ def stage_skew(path: str) -> list[dict]:
             si = ev["Stage Info"]
             st = stages.setdefault(
                 (si["Stage ID"], si["Stage Attempt ID"]),
-                {"records": [], "bytes": [], "ms": []},
+                {"records": [], "bytes": [], "ms": [], "wrecords": []},
             )
             st["name"] = si["Stage Name"].split("\n")[0][:80]
             st["n_tasks"] = si.get("Number of Tasks")
         elif kind == "SparkListenerTaskEnd":
             st = stages.setdefault(
                 (ev["Stage ID"], ev["Stage Attempt ID"]),
-                {"records": [], "bytes": [], "ms": []},
+                {"records": [], "bytes": [], "ms": [], "wrecords": []},
             )
             tm = ev.get("Task Metrics") or {}
             inp = tm.get("Input Metrics") or {}
             shr = tm.get("Shuffle Read Metrics") or {}
+            shw = tm.get("Shuffle Write Metrics") or {}
             recs = (inp.get("Records Read") or 0) + (
                 shr.get("Total Records Read") or 0
             )
+            wrecs = shw.get("Shuffle Records Written") or 0
             byts = (
                 (inp.get("Bytes Read") or 0)
                 + (shr.get("Remote Bytes Read") or 0)
@@ -67,6 +69,7 @@ def stage_skew(path: str) -> list[dict]:
             )
             ti = ev.get("Task Info") or {}
             st["records"].append(recs)
+            st["wrecords"].append(wrecs)
             st["bytes"].append(byts)
             st["ms"].append(
                 (ti.get("Finish Time") or 0) - (ti.get("Launch Time") or 0)
@@ -78,6 +81,8 @@ def stage_skew(path: str) -> list[dict]:
         if not recs:
             continue
         med_r = statistics.median(recs)
+        wrecs = st.get("wrecords") or [0]
+        med_w = statistics.median(wrecs)
         med_b = statistics.median(st["bytes"])
         med_ms = statistics.median(st["ms"])
         out.append(
@@ -88,6 +93,12 @@ def stage_skew(path: str) -> list[dict]:
                 "records_median": med_r,
                 "records_max": max(recs),
                 "records_ratio": round(max(recs) / med_r, 2) if med_r else None,
+                # shuffle WRITE records: the output side — a hot join
+                # key's quadratic pair emission shows here even when
+                # the stage's INPUT is balanced
+                "wrecords_median": med_w,
+                "wrecords_max": max(wrecs),
+                "wrecords_ratio": round(max(wrecs) / med_w, 2) if med_w else None,
                 "bytes_median": med_b,
                 "bytes_max": max(st["bytes"]),
                 "ms_median": med_ms,

@@ -23,7 +23,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kgforge.profile import ScaleProfile
@@ -95,7 +95,16 @@ def _in_array_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
     """(…, ids: array) → (a, b) with a < b: all unordered pairs from
     each row's array, via a lambda index + slice (arg2 of a 2-arg HOF
     lambda is the element INDEX). Caller guarantees the arrays are
-    size-bounded — this explodes C(n,2) structs from ONE row."""
+    size-bounded — this explodes C(n,2) structs from ONE row.
+
+    The explicit round-robin repartition exists because the groupBy
+    feeding this is BYTE-small (one row per bucket), so AQE coalesces
+    it to a couple of partitions — and then the C(n,2) explosion runs
+    on 2 tasks instead of 32 (measured: the embedding guard's pair
+    stage at 2×10M shuffle-write records per task). Row size is a bad
+    proxy for explode cost; spread the buckets first."""
+    n_part = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    buckets = buckets.repartition(n_part)
     ids_sorted = F.array_sort(F.col(ids_col))
     pair_structs = F.flatten(
         F.transform(
@@ -138,8 +147,12 @@ def minhash_lsh_candidates(
     the in-array path (arrays bounded by N); oversized buckets are
     handled per `oversize`:
       * "join" — the streaming self-join formulation: the same
-        quadratic pair COUNT, but produced row-at-a-time across tasks,
-        never one giant row (output semantics identical to default);
+        quadratic pair COUNT, but produced row-at-a-time, never one
+        giant row (output semantics identical to default). Parallelism
+        is bounded by the number of oversized KEYS (an equi-join
+        co-partitions by key; one hot key = one task — measured 188s
+        on one task for a planted 10k-doc bucket), so "join" buys OOM
+        immunity, not speed: at scale prefer "drop";
       * "drop" — skip them (semantics change: near-dups that share
         ONLY a saturated bucket are lost; a bucket hotter than N under
         a reasonable N carries boilerplate, not signal — same policy
@@ -176,8 +189,15 @@ def minhash_lsh_candidates(
 
     if oversize not in ("join", "drop"):
         raise ValueError(f"unknown oversize policy {oversize!r}")
-    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("sz"))
-    tagged = banded.join(sizes.filter(F.col("sz") >= 2), ["band", "key"])
+    # window-count census: ONE shuffle of the banded table (by the
+    # bucket key — the downstream groupBy reuses the partitioning), vs
+    # the aggregate-then-join census which plans the expensive banded
+    # subtree TWICE with no exchange reuse (measured +55% on the
+    # sf0.1 contract query). Oversized groups buffer linearly in the
+    # window (spill-backed) — never a pair explosion.
+    tagged = banded.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("sz") >= 2)
     small = (
         tagged.filter(F.col("sz") <= max_bucket)
         .groupBy("band", "key")
@@ -402,15 +422,20 @@ def simhash_near_dups(
     if max_bucket is None:
         cand = _self_join(chunks).distinct()
     else:
-        # census first: bucket sizes are tiny rows (one per (chunk, ck)),
-        # and no membership array is collected before the size is known
-        sizes = chunks.groupBy("chunk", "ck").agg(F.count(F.lit(1)).alias("sz"))
-        tagged = chunks.join(sizes.filter(F.col("sz") >= 2), ["chunk", "ck"])
+        # window-count census: sizes are known BEFORE any membership
+        # array is collected, in the same single shuffle the pair
+        # groupBy needs anyway (see minhash_lsh_candidates)
+        tagged = chunks.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("chunk", "ck"))
+        ).filter(F.col("sz") >= 2)
         small = (
             tagged.filter(F.col("sz") <= max_bucket)
             .groupBy("chunk", "ck")
             .agg(F.collect_list(F.struct("id", "simhash")).alias("mem"))
         )
+        # spread before the C(n,2) explosion (see _in_array_pairs)
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        small = small.repartition(n_part)
         m = F.array_sort(F.col("mem"))  # struct sort: id is field 1 → a < b
         pair_structs = F.flatten(
             F.transform(

@@ -231,14 +231,16 @@ def embedding_near_dups(
     if max_bucket is None:
         cand = _self_join(banded).distinct()
     else:
+        from pyspark.sql import Window
+
         from kgforge.textops.dedup import _in_array_pairs
 
-        # census before any membership is collected (same pattern as
-        # minhash_lsh_candidates / simhash_near_dups)
-        sizes = banded.groupBy("tbl", "bucket").agg(
-            F.count(F.lit(1)).alias("sz")
-        )
-        tagged = banded.join(sizes.filter(F.col("sz") >= 2), ["tbl", "bucket"])
+        # window-count census: sizes known before any membership is
+        # collected, in one shuffle (same pattern + rationale as
+        # minhash_lsh_candidates)
+        tagged = banded.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket"))
+        ).filter(F.col("sz") >= 2)
         small = (
             tagged.filter(F.col("sz") <= max_bucket)
             .groupBy("tbl", "bucket")

@@ -272,6 +272,13 @@ def candidate_pairs_minhash(
             .agg(F.collect_list("m").alias("mem"))
             .filter((F.size("mem") >= 2) & (F.size("mem") <= max_bucket))
         )
+        # spread before the C(n,2) explosion: the grouped table is
+        # byte-small (one row per bucket) so AQE coalesces it, which
+        # strands the quadratic pair explode on a couple of tasks
+        # (same fix as textops.dedup._in_array_pairs)
+        grouped = grouped.repartition(
+            int(surfaces.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
         m = F.array_sort(F.col("mem"))
         pair_structs = F.flatten(
             F.transform(
