@@ -657,6 +657,25 @@ def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION (round-4): links stated by EITHER version, BAG
+    semantics — a (x, z) pair asserted by both v01 and v02 appears
+    twice (no implicit distinct, per spec), so the oracle is UNION
+    ALL, not UNION."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1v1: <{_SPARQL_V1}>
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT ?x ?z
+    WHERE {{
+        {{ ?x ns1v1:applicable_to ?z }} UNION {{ ?x ns1v2:applicable_to ?z }}
+    }}
+    """
+    return sparql(triples, q)
+
+
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
 
@@ -726,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_version": q_kg_sparql_version,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_optional": q_kg_sparql_optional,
+        "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_vernum": q_kg_sparql_vernum,
     }
 
@@ -1362,6 +1382,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
                    CAST(p_partkey % 13 AS VARCHAR) AS v
             FROM part WHERE p_partkey % 13 > 9
+        """,
+        "kg_sparql_union": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                   '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+            FROM part WHERE p_partkey % 2 = 0      -- v01 branch
+            UNION ALL                               -- bag semantics
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                   '{_D}BR_' || translate(p_brand, '# ', '__')
+            FROM part                               -- v02 brand links
+            UNION ALL
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                   '{_D}TY_' || translate(p_type, '# ', '__')
+            FROM part                               -- v02 type links
         """,
         "kg_melt_part": melt,
         "kg_sanitize_iri": f"""

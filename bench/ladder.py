@@ -67,6 +67,7 @@ def main() -> None:
     ap.add_argument(
         "--json-out", default="/tmp/kgforge_scaling/ladder.json"
     )
+    ap.add_argument("--label", default="round 4", help="round tag for the md section title")
     args = ap.parse_args()
 
     from scaling import run_one  # noqa: E402 (bench/ module)
@@ -138,7 +139,7 @@ def main() -> None:
     # ---- markdown ----
     lines = [
         "",
-        "## Full scaling ladder (current code, one version — round 3)",
+        f"## Full scaling ladder (current code, one version — {args.label})",
         "",
         f"Same job/input as §3 above ({args.pages} pages, seed={args.seed}),",
         "spark-submit --py-files dist/kgforge.zip, identical configs except",

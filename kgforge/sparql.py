@@ -15,7 +15,9 @@ straight to Catalyst plans:
             group := triple patterns ('.'-separated, ';'/',' lists,
                      `a` == rdf:type) | OPTIONAL { group }
                      | MINUS { group } | FILTER(expr) | nested { group }
-            expr  := !=, =, <, <=, >, >=, &&, ||, !, parens; operands
+                     | { group } UNION { group } (UNION ...)*
+            expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
+                     BOUND(?v), REGEX(?v, "pat"[, "flags"]); operands
                      are ?vars, IRIs/pnames, "literals", numbers
 
   compile   each triple pattern -> a scan of the triple table with the
@@ -37,6 +39,15 @@ straight to Catalyst plans:
             within a group, optionals apply after the group's own
             patterns, then MINUS, then FILTER. An OPTIONAL sharing no
             variable with the group is out of subset (rejected).
+            UNION compiles each branch independently and unions the
+            solution bags (duplicates kept, per spec); branches must
+            bind the SAME variable set (the subset's restriction —
+            SPARQL's unbound-is-compatible join semantics for
+            partially-overlapping branches is not expressible as a
+            plain equi-join). Datatype shadows align across branches
+            (a branch that bound a var IRI-only contributes NULL
+            shadows, which IS the IRI tag). The unioned block joins
+            the rest of the group datatype-reconciled like MINUS.
             FILTER comparisons follow SPARQL operator-mapping as far
             as the subset carries types: when both operands are
             numeric — a bare numeric constant, a literal typed with a
@@ -122,6 +133,7 @@ class Group:
     filters: list["Expr"] = field(default_factory=list)
     minuses: list["Group"] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
+    unions: list[list["Group"]] = field(default_factory=list)  # one entry per UNION chain
 
     def all_vars(self) -> list[str]:
         """Variables of this group's own patterns, first-seen order."""
@@ -164,7 +176,13 @@ class Not:
     arg: object
 
 
-Expr = Cmp | BoolOp | Not
+@dataclass(frozen=True)
+class Call:
+    fn: str  # "bound" | "regex"
+    args: tuple
+
+
+Expr = Cmp | BoolOp | Not | Call
 
 
 # --------------------------------------------------------------------
@@ -357,16 +375,24 @@ class _Parser:
                 g.filters.append(self._expr())
                 self.expect("op", ")")
             elif self.at("op", "{"):
-                # nested group graph pattern with no UNION == merge
                 inner = self._group()
-                g.patterns += inner.patterns
-                g.filters += inner.filters
-                g.minuses += inner.minuses
-                g.optionals += inner.optionals
+                if self.at("kw", "union"):
+                    alts = [inner]
+                    while self.at("kw", "union"):
+                        self.next()
+                        alts.append(self._group())
+                    g.unions.append(alts)
+                else:
+                    # nested group graph pattern with no UNION == merge
+                    g.patterns += inner.patterns
+                    g.filters += inner.filters
+                    g.minuses += inner.minuses
+                    g.optionals += inner.optionals
+                    g.unions += inner.unions
             elif self.at("op", "."):
                 self.next()
             elif self.at("kw", "union"):
-                raise ValueError("UNION not supported")
+                raise ValueError("UNION must follow a braced group pattern")
             else:
                 self._triple_lists(g.patterns)
         self.expect("op", "}")
@@ -453,6 +479,27 @@ class _Parser:
             e = self._expr()
             self.expect("op", ")")
             return e
+        k, v = self.peek()
+        if k == "word" and v.lower() in ("bound", "regex"):
+            self.next()
+            self.expect("op", "(")
+            args = [self._operand()]
+            while self.at("op", ","):
+                self.next()
+                args.append(self._operand())
+            self.expect("op", ")")
+            fn = v.lower()
+            if fn == "bound" and (len(args) != 1 or not isinstance(args[0], Var)):
+                raise ValueError("BOUND takes exactly one ?variable")
+            if fn == "regex":
+                if len(args) not in (2, 3) or not all(
+                    isinstance(a, Lit) for a in args[1:]
+                ):
+                    raise ValueError(
+                        'REGEX takes (term, "pattern"[, "flags"]) with '
+                        "literal pattern/flags"
+                    )
+            return Call(fn, tuple(args))
         left = self._operand()
         k, v = self.peek()
         if k == "op" and v in ("!=", "=", "<", "<=", ">", ">="):
@@ -610,13 +657,70 @@ def _boundary_cond(
     return cond
 
 
+def _compile_union(triples: DataFrame, alts: list[Group]) -> DataFrame:
+    """{A} UNION {B} ... — each branch compiled independently, solution
+    BAGS unioned (duplicates kept per spec). Subset restriction:
+    branches must bind the same variable set (module docstring).
+    Datatype shadows align across branches — a branch that bound the
+    var IRI-only contributes NULL shadows (NULL = the IRI tag)."""
+    dfs = [_compile_group(triples, a) for a in alts]
+    varsets = [
+        {c for c in d.columns if not c.startswith("__dt_")} for d in dfs
+    ]
+    if any(v != varsets[0] for v in varsets):
+        raise ValueError(
+            "UNION branches must bind the same variables "
+            f"(got {sorted(varsets[0])} vs {sorted(next(v for v in varsets if v != varsets[0]))})"
+        )
+    shadows = sorted(
+        set().union(*({c for c in d.columns if c.startswith("__dt_")} for d in dfs))
+    )
+    cols = sorted(varsets[0]) + shadows
+    aligned = []
+    for d in dfs:
+        for sh in shadows:
+            if sh not in d.columns:
+                d = d.withColumn(sh, F.lit(None).cast("string"))
+        aligned.append(d.select(*cols))
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _reconciled_join(acc: DataFrame, other: DataFrame) -> DataFrame:
+    """Inner join of two binding sets where the sides may DISAGREE on
+    which vars carry datatype shadows — the _boundary_cond treatment
+    (shared with MINUS/OPTIONAL) applied to a plain conjunction join.
+    Used at the UNION-block boundary; plain pattern chaining keeps the
+    simpler _join_step (a pattern's shadow carriage is decided by the
+    group-level iri_only set, so its sides always agree)."""
+    shared = sorted(
+        c
+        for c in set(acc.columns) & set(other.columns)
+        if not c.startswith("__dt_")
+    )
+    if not shared:
+        return acc.crossJoin(other)
+    cond = _boundary_cond(acc.columns, other.columns, shared)
+    new_cols = [c for c in other.columns if c not in set(acc.columns)]
+    joined = acc.alias("_l").join(other.alias("_r"), cond, "inner")
+    return joined.select(
+        [F.col(f"_l.{c}").alias(c) for c in acc.columns]
+        + [F.col(f"_r.{c}").alias(c) for c in new_cols]
+    )
+
+
 def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
-    if not g.patterns:
+    if not g.patterns and not g.unions:
         raise ValueError("empty group graph pattern")
     iri_only = _iri_only_vars(g)
     acc: DataFrame | None = None
     for pat in g.patterns:
         acc = _join_step(acc, _compile_pattern(triples, pat, iri_only))
+    for alts in g.unions:
+        udf_block = _compile_union(triples, alts)
+        acc = udf_block if acc is None else _reconciled_join(acc, udf_block)
     assert acc is not None
     for opt in g.optionals:
         # OPTIONAL = left outer join; the optional side computes its
@@ -749,7 +853,27 @@ def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
         a, b = (_compile_expr(x, cols) for x in e.args)
         return (a & b) if e.op == "and" else (a | b)
     if isinstance(e, Not):
+        # SPARQL effective-boolean-value: an error (NULL from a
+        # comparison on an unbound var) stays an error under negation
+        # — coalesce AFTER the flip would turn errors into kept rows;
+        # Spark's three-valued NOT already does the right thing
         return ~_compile_expr(e.arg, cols)
+    if isinstance(e, Call):
+        if e.fn == "bound":
+            name = e.args[0].name
+            # a var absent from the binding columns entirely is
+            # statically unbound (SPARQL: bound() = false)
+            if name not in cols:
+                return F.lit(False)
+            return F.col(name).isNotNull()
+        if e.fn == "regex":
+            target = _operand_col(e.args[0])
+            pat = e.args[1].value
+            flags = e.args[2].value if len(e.args) == 3 else ""
+            if "i" in flags:  # the one XPath flag the subset carries
+                pat = "(?i)" + pat
+            return target.rlike(pat)
+        raise ValueError(f"unknown function {e.fn!r}")
     raise ValueError(f"unknown expr {e!r}")
 
 

@@ -261,8 +261,8 @@ def test_cross_join_when_patterns_share_nothing(spark):
 
 
 def test_parse_errors():
-    with pytest.raises(ValueError, match="UNION not supported"):
-        parse("SELECT ?x WHERE { { ?x <p> ?y } UNION { ?x <q> ?y } }")
+    with pytest.raises(ValueError, match="UNION must follow"):
+        parse("SELECT ?x WHERE { ?x <p> ?y UNION { ?x <q> ?y } }")
     with pytest.raises(ValueError, match="undeclared prefix"):
         parse("SELECT ?x WHERE { ?x foo:bar ?y }")
     with pytest.raises(ValueError, match="SELECT needs"):
@@ -554,3 +554,110 @@ def test_cli_tsv_escapes_control_chars(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.strip().splitlines()
     assert sorted(lines[1:]) == ["back\\\\slash", "line1\\nline2\\tcol"]
     assert all("\t" not in ln for ln in lines[1:])
+
+
+def test_union_basic_and_bag_semantics(spark):
+    """{A} UNION {B}: solution bags concatenate — a (x,z) pair stated
+    by BOTH branches appears twice (no implicit distinct, per spec)."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """
+    SELECT ?x ?z WHERE {
+        { ?x ns1v1:applicable_to ?z } UNION { ?x ns1v2:applicable_to ?z }
+    }
+    """
+    rows = [(r.x, r.z) for r in sparql(df, q).collect()]
+    # v1: (part12, variantA); v2: (part12, variantA), (part12, variantB)
+    assert sorted(rows) == [
+        (NS + "part12", NS + "variantA"),
+        (NS + "part12", NS + "variantA"),  # stated by both versions
+        (NS + "part12", NS + "variantB"),
+    ]
+    # DISTINCT collapses the bag
+    qd = q.replace("SELECT ?x ?z", "SELECT DISTINCT ?x ?z")
+    assert len(sparql(df, qd).collect()) == 2
+
+
+def test_union_three_branches_and_join_with_outer_pattern(spark):
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """
+    SELECT ?v WHERE {
+        ?v a ns1:Variant .
+        { ?p ns1v1:applicable_to ?v } UNION { ?p ns1v2:applicable_to ?v }
+              UNION { ?v a ns1:Variant . ?p a ns1:PNR }
+    }
+    """
+    got = sorted(r.v for r in sparql(df, q).collect())
+    # variantA: v1 + v2 + branch-3 cross = 3; variantB: v2 + cross = 2
+    assert got == [NS + "variantA"] * 3 + [NS + "variantB"] * 2
+
+
+def test_union_datatype_reconciliation(spark):
+    """One branch binds ?o as a literal, the other as an IRI: the
+    union keeps BOTH terms with their kinds — joining a pattern that
+    forces ?o into subject position keeps only the IRI row."""
+    rows = [
+        ("a", "p", "x", None),     # IRI object
+        ("b", "q", "x", ""),       # literal object, same lexical
+        ("x", "r", "1", ""),
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?s ?o WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } }"
+    got = {(r.s, r.o) for r in sparql(df, q).collect()}
+    assert got == {("a", "x"), ("b", "x")}
+    q2 = "SELECT ?s ?o WHERE { ?o <r> ?n . { ?s <p> ?o } UNION { ?s <q> ?o } }"
+    assert {(r.s, r.o) for r in sparql(df, q2).collect()} == {("a", "x")}
+
+
+def test_union_mismatched_vars_rejected(spark):
+    df = _triples(spark, [("a", "p", "1", "")])
+    with pytest.raises(ValueError, match="UNION branches must bind"):
+        sparql(df, "SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?w } }").collect()
+
+
+def test_union_only_group(spark):
+    rows = [("a", "p", "1", ""), ("b", "q", "2", "")]
+    df = _triples(spark, rows)
+    q = "SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } }"
+    assert sorted(r.s for r in sparql(df, q).collect()) == ["a", "b"]
+
+
+def test_filter_bound_negation_by_failure(spark):
+    """The classic OPTIONAL + !BOUND idiom: rows WITHOUT a label."""
+    rows = [
+        ("a", "p", "1", ""),
+        ("a", "label", "Alpha", ""),
+        ("b", "p", "2", ""),
+    ]
+    df = _triples(spark, rows)
+    q = """SELECT ?s WHERE { ?s <p> ?v .
+           OPTIONAL { ?s <label> ?l } FILTER(!bound(?l)) }"""
+    assert {r.s for r in sparql(df, q).collect()} == {"b"}
+    q2 = q.replace("!bound", "bound")
+    assert {r.s for r in sparql(df, q2).collect()} == {"a"}
+    # statically-absent var: bound() is false, !bound() keeps all
+    q3 = "SELECT ?s WHERE { ?s <p> ?v . FILTER(!bound(?nope)) }"
+    assert {r.s for r in sparql(df, q3).collect()} == {"a", "b"}
+
+
+def test_filter_regex(spark):
+    rows = [
+        ("a", "name", "Alice Smith", ""),
+        ("b", "name", "bob smith", ""),
+        ("c", "name", "Carol Jones", ""),
+    ]
+    df = _triples(spark, rows)
+    q = 'SELECT ?s WHERE { ?s <name> ?n . FILTER(regex(?n, "smith")) }'
+    assert {r.s for r in sparql(df, q).collect()} == {"b"}
+    qi = 'SELECT ?s WHERE { ?s <name> ?n . FILTER(regex(?n, "smith", "i")) }'
+    assert {r.s for r in sparql(df, qi).collect()} == {"a", "b"}
+    qa = 'SELECT ?s WHERE { ?s <name> ?n . FILTER(regex(?n, "^A") && regex(?n, "h$")) }'
+    assert {r.s for r in sparql(df, qa).collect()} == {"a"}
+
+
+def test_filter_function_parse_errors():
+    with pytest.raises(ValueError, match="BOUND takes"):
+        parse('SELECT ?s WHERE { ?s <p> ?v . FILTER(bound("x")) }')
+    with pytest.raises(ValueError, match="REGEX takes"):
+        parse("SELECT ?s WHERE { ?s <p> ?v . FILTER(regex(?v)) }")
+    with pytest.raises(ValueError, match="REGEX takes"):
+        parse("SELECT ?s WHERE { ?s <p> ?v . FILTER(regex(?v, ?w)) }")
