@@ -793,8 +793,14 @@ _NUMERIC_DTS = frozenset(
 )
 
 
-def _operand_col(x: Term | float) -> F.Column:
+def _operand_col(x: Term | float, cols: set[str] | None = None) -> F.Column:
     if isinstance(x, Var):
+        if cols is not None and x.name not in cols:
+            # a variable with no binding column is unbound everywhere:
+            # any comparison on it is a SPARQL type error per row →
+            # NULL → filtered, i.e. an empty result, not an
+            # AnalysisException
+            return F.lit(None).cast("string")
         return F.col(x.name)
     if isinstance(x, Iri):
         return F.lit(x.value)
@@ -823,7 +829,7 @@ def _operand_numeric(x: Term | float, cols: set[str]):
 
 def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
     if isinstance(e, Cmp):
-        lhs, rhs = _operand_col(e.left), _operand_col(e.right)
+        lhs, rhs = _operand_col(e.left, cols), _operand_col(e.right, cols)
         l_num, l_static = _operand_numeric(e.left, cols)
         r_num, r_static = _operand_numeric(e.right, cols)
 
@@ -867,7 +873,7 @@ def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
                 return F.lit(False)
             return F.col(name).isNotNull()
         if e.fn == "regex":
-            target = _operand_col(e.args[0])
+            target = _operand_col(e.args[0], cols)
             pat = e.args[1].value
             flags = e.args[2].value if len(e.args) == 3 else ""
             if "i" in flags:  # the one XPath flag the subset carries

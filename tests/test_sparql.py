@@ -661,3 +661,13 @@ def test_filter_function_parse_errors():
         parse("SELECT ?s WHERE { ?s <p> ?v . FILTER(regex(?v)) }")
     with pytest.raises(ValueError, match="REGEX takes"):
         parse("SELECT ?s WHERE { ?s <p> ?v . FILTER(regex(?v, ?w)) }")
+
+
+def test_filter_on_absent_var_is_type_error_not_crash(spark):
+    """A FILTER comparison over a variable with no binding column is a
+    per-row type error (empty result), not an AnalysisException."""
+    df = _triples(spark, [("a", "p", "1", "")])
+    q = 'SELECT ?s WHERE { ?s <p> ?v . FILTER(?nope = "x") }'
+    assert sparql(df, q).collect() == []
+    q2 = "SELECT ?s WHERE { ?s <p> ?v . FILTER(!(?nope > 3)) }"
+    assert sparql(df, q2).collect() == []  # error stays error under !
