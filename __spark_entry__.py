@@ -248,6 +248,38 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_topk(spark, idx, qvec, k=20, expected_fingerprint=fp)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing a MATERIALIZED cell-partitioned index (the
+    trained-quantizer counterpart of ann_topk_lsh). For cross-engine
+    oracle-ability the contract query pins the centroids to the first
+    16 data vectors (a deterministic, SQL-expressible init — the
+    sampled-k-means TRAINING path is pytest-gated instead:
+    determinism, recall, full-probe == brute force). Assignment and
+    probe selection round squared distances to 6 decimals with
+    centroid-id tie-break in BOTH engines, so cell boundaries agree."""
+    import os
+
+    from kgforge.textops.similarity import (
+        build_ivf_index,
+        dataset_fingerprint,
+        ivf_index_topk,
+        read_ivf_manifest,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    idx = f"/tmp/kgforge_ivf_index_{os.path.basename(os.path.normpath(sf_dir))}"
+    fp = dataset_fingerprint(emb)
+    manifest = read_ivf_manifest(spark, idx)
+    if manifest is None or manifest.get("fingerprint") != fp:
+        build_ivf_index(emb, idx, centroids=cents, fingerprint=fp)
+    return ivf_index_topk(spark, idx, qvec, k=20, nprobe=4, expected_fingerprint=fp)
+
+
 def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over embeddings ∪ clones
     (multi-table sign-bucket blocking + exact-cosine verify). Fully
@@ -728,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "emb_near_dups": q_emb_near_dups,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1106,6 +1139,46 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "emb_near_dups": _emb_near_dups_sql(),
         "ann_topk_lsh": _ann_topk_lsh_sql(),
+        # IVF ANN: centroids = first 16 data vectors; squared distances
+        # via the inner-product identity, rounded to 6 decimals with
+        # cid tie-break (matches ivf_assign_udf / nearest_centroids)
+        "ann_topk_ivf": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 16
+            ),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+            d AS (
+              SELECT v.vec_id, v.v, cents.cid,
+                     round(list_inner_product(v.v, v.v)
+                           - 2 * list_inner_product(v.v, cents.c)
+                           + list_inner_product(cents.c, cents.c), 6) AS d2
+              FROM v CROSS JOIN cents
+            ),
+            assign AS (
+              SELECT vec_id, v, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM d
+            ),
+            probes AS (
+              SELECT cents.cid
+              FROM cents CROSS JOIN qv
+              ORDER BY round(list_inner_product(q, q)
+                             - 2 * list_inner_product(q, cents.c)
+                             + list_inner_product(cents.c, cents.c), 6),
+                       cents.cid
+              LIMIT 4
+            )
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   round(list_cosine_similarity(a.v, qv.q), 6) AS score
+            FROM assign a
+            JOIN probes p ON a.cid = p.cid
+            CROSS JOIN qv
+            WHERE a.rn = 1
+            ORDER BY score DESC, a.vec_id ASC
+            LIMIT 20
+        """,
         "ann_topk_brute": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)

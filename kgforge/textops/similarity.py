@@ -2,12 +2,17 @@
 
 * brute-force cosine top-k — the exactness baseline; one narrow pass +
   a top-k aggregate (no shuffle of the full score set: TakeOrdered).
-* LSH-bucketed ANN — the scale path: random-hyperplane sign buckets
+* LSH-bucketed ANN — a scale path: random-hyperplane sign buckets
   (driver-seeded, deterministic), search only the query's bucket
   (optionally with multi-probe by flipping low-confidence bits).
   Recall is measured against the brute-force baseline in tests.
+* IVF ANN — the other scale path the pipeline brief names: a TRAINED
+  coarse quantizer (sampled k-means) partitions vectors into cells
+  that follow the data distribution; a probe scans the nprobe nearest
+  cells only (partition pruning at the parquet scan).
 
-Dot products are pure JVM (`aggregate`/`zip_with`) on doubles.
+Dot products are pure JVM (`aggregate`/`zip_with`) on doubles; bulk
+bucket/cell assignment is one Arrow-batched numpy pass.
 """
 
 from __future__ import annotations
@@ -474,6 +479,187 @@ def ann_index_topk(
 
     cand = idx.filter(probe_cond).select("vec_id", "v").dropDuplicates(["vec_id"])
     scored = cand.select(
+        "vec_id", F.round(cosine_expr(F.col("v"), q), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
+
+
+# ----------------------------------------------------------- IVF index
+# The second scale path the pipeline brief names ("an IVF or
+# LSH-bucketed variant"): a trained coarse quantizer instead of random
+# hyperplanes. Cells adapt to the data distribution, so a probe scans
+# the nprobe nearest cells — data-aware pruning where LSH prunes
+# data-obliviously.
+
+_IVF_MANIFEST = "_kgforge_ivf.json"
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means on a bounded sample (k-means++
+    seeded init). Driver state is the SAMPLE (≤ `sample` vectors) and
+    the k×dim centroid matrix — both caller-bounded, independent of
+    corpus size; at 10^12 vectors the sample is still `sample` rows
+    (limit() pushdown, no full scan materialized)."""
+    import numpy as np
+
+    rows = df.select(_as_double(F.col(vec_col)).alias("v")).limit(sample).collect()
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(f"sample of {len(x)} vectors cannot seed k={k} centroids")
+    rng = np.random.RandomState(seed)
+    # k-means++ init
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            ((x[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=probs)])
+    c = np.asarray(cents)
+    for _ in range(iters):
+        assign = (((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)).argmin(axis=1)
+        for j in range(k):
+            m = x[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+    return [[float(v) for v in row] for row in c]
+
+
+def ivf_assign_udf(centroids: list[list[float]]):
+    """Vectorized nearest-centroid assignment: one Arrow-batched pass,
+    squared distances rounded to 6 decimals before argmin with
+    centroid-id tie-break — the SAME rounding the DuckDB oracle
+    applies, so near-tie boundary cells agree across engines."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf("int")
+    def _assign(vecs):
+        v = np.stack(vecs.to_numpy())  # (batch, dim)
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        d2 = np.round(d2, 6)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def nearest_centroids(query_vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """The query's nprobe nearest cells (rounded-distance + id
+    tie-break, mirroring ivf_assign_udf)."""
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    d2 = np.round(((c - q[None, :]) ** 2).sum(-1), 6)
+    order = sorted(range(len(c)), key=lambda i: (d2[i], i))
+    return order[:nprobe]
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    k: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    fingerprint: str | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF index: train (or take) centroids, assign
+    every vector to its nearest cell in one vectorized pass, write
+    parquet PARTITIONED BY list_id. A probe reads ONLY the probed
+    cells (partition pruning at the scan — `PartitionFilters`), so
+    probe cost is nprobe/k of the table for balanced cells.
+
+    The manifest records centroids + dim + optional content
+    `fingerprint` (same guard pattern as the LSH index: probes can
+    never silently use different centroids than the build)."""
+    import json
+
+    from kgforge.io.fs import write_text
+
+    first = df.select(F.col(vec_col)).first()
+    if first is None:
+        raise ValueError("cannot index an empty vector table")
+    dim = len(first[0])
+    if centroids is None:
+        centroids = train_ivf_centroids(df, k, sample, iters, seed, vec_col)
+    udf = ivf_assign_udf(centroids)
+    entries = df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("list_id", udf(F.col("v")))
+    (
+        entries.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    write_text(
+        df.sparkSession,
+        path.rstrip("/") + "/" + _IVF_MANIFEST,
+        json.dumps(
+            {
+                "version": 1,
+                "k": len(centroids),
+                "dim": dim,
+                "seed": seed,
+                "centroids": centroids,
+                "fingerprint": fingerprint,
+            }
+        ),
+    )
+    return centroids
+
+
+def read_ivf_manifest(spark, path: str) -> dict | None:
+    import json
+
+    from kgforge.io.fs import path_exists, read_text
+
+    mp = path.rstrip("/") + "/" + _IVF_MANIFEST
+    if not path_exists(spark, mp):
+        return None
+    return json.loads(read_text(spark, mp))
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    expected_fingerprint: str | None = None,
+) -> DataFrame:
+    """Probe the IVF index: nearest `nprobe` cells by the query's
+    centroid distances (driver-side, k-sized), scan ONLY those
+    partitions (isin on the list_id partition column), exact cosine on
+    the survivors — (vec_id, score), score desc / id asc."""
+    manifest = read_ivf_manifest(spark, path)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no {_IVF_MANIFEST} under {path} — rebuild with build_ivf_index"
+        )
+    if expected_fingerprint is not None and manifest.get("fingerprint") != expected_fingerprint:
+        raise ValueError(
+            f"IVF index at {path} is stale: built from fingerprint "
+            f"{manifest.get('fingerprint')}, expected {expected_fingerprint}"
+        )
+    probes = nearest_centroids(query_vec, manifest["centroids"], nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(path).filter(F.col("list_id").isin(*probes))
+    scored = idx.select(
         "vec_id", F.round(cosine_expr(F.col("v"), q), 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)

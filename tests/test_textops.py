@@ -608,3 +608,60 @@ def test_parse_video_header_magic_bytes(spark):
     assert got[3] == ("ebml", None)
     assert got[4] == ("avi", None)
     assert got[5] == (None, None)
+
+
+def test_ivf_index_build_probe_recall_and_pruning(spark, tmp_path):
+    import contextlib
+    import io
+
+    from kgforge.textops.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        read_ivf_manifest,
+        train_ivf_centroids,
+    )
+
+    df = _embeddings(spark)
+    q = df.filter(F.col("vec_id") == 3).first().embedding
+    idx = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(df, idx, k=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 16
+
+    # deterministic training
+    again = train_ivf_centroids(df, k=8, seed=42)
+    assert again == cents
+
+    out = ivf_index_topk(spark, idx, q, k=10, nprobe=4)
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    approx = [r.vec_id for r in out.collect()]
+    # the query's own cell is always probed first: its clone must lead
+    assert approx[0] in (3, 9000) and set(approx[:2]) == {3, 9000}
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6, f"ivf recall@10={recall} (nprobe=4/8)"
+
+    # full-probe == brute force exactly (sanity of the candidate set)
+    full = [r.vec_id for r in ivf_index_topk(spark, idx, q, k=10, nprobe=8).collect()]
+    assert full == exact
+
+    # the probe must prune AT THE SCAN (list_id is the partition col)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    seg = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "list_id" in seg, f"list_id not in partition filters: {seg}"
+
+    # manifest guards
+    m = read_ivf_manifest(spark, idx)
+    assert m["k"] == 8 and m["dim"] == 16
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ivf_index_topk(spark, str(tmp_path / "nope"), q, k=5)
+    from kgforge.textops.similarity import dataset_fingerprint
+
+    with _pytest.raises(ValueError, match="stale"):
+        ivf_index_topk(
+            spark, idx, q, k=5,
+            expected_fingerprint=dataset_fingerprint(_embeddings(spark, seed=99)),
+        )
