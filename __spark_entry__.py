@@ -319,6 +319,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(load(spark, sf_dir, "documents"))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenizer counting (letter runs | digit runs |
+    single symbols) — the same regex runs on Java regex and RE2, so
+    the DuckDB oracle applies the pattern verbatim."""
+    from kgforge.textops.analysis import token_count
+
+    return token_count(load(spark, sf_dir, "documents"), tokenizer="bpe")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.textops.analysis import fingerprint
 
@@ -765,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_audio": q_multimodal_audio,
@@ -1194,6 +1204,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id AS id,
                    CAST(len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+                   CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_subtokens_est
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id AS id,
+                   CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_tokens,
                    CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_subtokens_est
             FROM documents
         """,

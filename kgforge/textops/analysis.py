@@ -22,13 +22,37 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), "\\s+")
 
 
-def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_tokens) — whitespace tokenization; a BPE-ish sub-token
-    estimate rides along (≈ ceil(chars/4), the usual budget heuristic)."""
-    t = tokens(F.col(text_col))
+#: BPE-ish pretokenizer: letter runs | digit runs | single non-space
+#: symbol — the GPT-2-family pretokenizer shape minus the lookahead
+#: and contraction alternates, deliberately, so the SAME pattern runs
+#: on Java regex (Spark) and RE2 (DuckDB — no lookahead) identically
+BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def token_count(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "ws",
+) -> DataFrame:
+    """(id, n_tokens, n_subtokens_est) — token counting, pure JVM.
+
+    tokenizer="ws" (default): whitespace split. tokenizer="bpe": the
+    BPE-ish pretokenizer regex above — counts the units a BPE merge
+    pass would start from (letter runs, digit runs, individual
+    symbols), which tracks real LLM token counts far better than
+    whitespace on punctuation-/code-heavy web text. The chars/4
+    sub-token estimate (the usual budget heuristic) rides along in
+    both modes."""
+    if tokenizer == "ws":
+        n = F.size(tokens(F.col(text_col)))
+    elif tokenizer == "bpe":
+        n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (expected ws|bpe)")
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(t).cast("bigint").alias("n_tokens"),
+        n.cast("bigint").alias("n_tokens"),
         F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("bigint").alias("n_subtokens_est"),
     )
 

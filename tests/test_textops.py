@@ -665,3 +665,30 @@ def test_ivf_index_build_probe_recall_and_pruning(spark, tmp_path):
             spark, idx, q, k=5,
             expected_fingerprint=dataset_fingerprint(_embeddings(spark, seed=99)),
         )
+
+
+def test_token_count_bpe_mode(spark):
+    """The BPE-ish pretokenizer diverges from whitespace on
+    punctuation/code-heavy text (the synthetic documents corpus is
+    pure space-separated words, where both coincide — hence the twin
+    contract hashes)."""
+    from kgforge.textops.analysis import token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),                  # ws 2, bpe 2
+            (2, "don't panic!"),                 # ws 2, bpe: don ' t panic ! = 5
+            (3, "f(x)=x**2;  // comment"),       # ws 3, bpe: f ( x ) = x * * 2 ; / / comment = 13
+            (4, "abc123 déjà_vu"),               # ws 2, bpe: abc 123 déjà _ vu = 5
+            (5, ""),                             # ws 1 (split quirk), bpe 0
+        ],
+        "doc_id long, text string",
+    )
+    ws = {r.id: r.n_tokens for r in token_count(df).collect()}
+    bpe = {r.id: r.n_tokens for r in token_count(df, tokenizer="bpe").collect()}
+    assert ws == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+    assert bpe == {1: 2, 2: 5, 3: 13, 4: 5, 5: 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown tokenizer"):
+        token_count(df, tokenizer="wordpiece")
