@@ -61,6 +61,12 @@ straight to Catalyst plans:
             doesn't parse is a SPARQL type error: the row is dropped
             (try_cast -> NULL -> filter false).
 
+Solution compatibility after OPTIONAL: an unbound variable is
+represented as NULL and compares null-safely in later joins and MINUS
+boundaries (NULL matches only NULL) — stricter than SPARQL's
+unbound-is-compatible rule; a group whose LATER patterns re-bind a
+variable an earlier OPTIONAL left unbound is out of subset.
+
 RDF term typing rides along: a variable bound in object position
 carries a hidden `<var>__dt` column (None = IRI, '' = plain literal,
 else datatype IRI — the emit model, kgforge/triples/emit.py:168-186).
@@ -719,8 +725,8 @@ def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
     for pat in g.patterns:
         acc = _join_step(acc, _compile_pattern(triples, pat, iri_only))
     for alts in g.unions:
-        udf_block = _compile_union(triples, alts)
-        acc = udf_block if acc is None else _reconciled_join(acc, udf_block)
+        ublock = _compile_union(triples, alts)
+        acc = ublock if acc is None else _reconciled_join(acc, ublock)
     assert acc is not None
     for opt in g.optionals:
         # OPTIONAL = left outer join; the optional side computes its
