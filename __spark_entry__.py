@@ -698,6 +698,28 @@ def q_kg_sparql_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `<pred>+` property path (round-4): transitive
+    subClassOf chain built from the 25-row nation table (C_i
+    subClassOf C_{i+1}) — the path compiles to the materialized
+    closure; the DuckDB oracle is WITH RECURSIVE."""
+    from kgforge.sparql import sparql
+
+    nation = load(spark, sf_dir, "nation")
+    null_dt = F.lit(None).cast("string")
+    chain = nation.filter(F.col("n_nationkey") < 24).select(
+        F.concat(F.lit(DOMAIN + "C"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("http://www.w3.org/2000/01/rdf-schema#subClassOf").alias("pred"),
+        F.concat(F.lit(DOMAIN + "C"), (F.col("n_nationkey") + 1).cast("string")).alias("obj"),
+        null_dt.alias("obj_dt"),
+    )
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?a ?b WHERE { ?a rdfs:subClassOf+ ?b }
+    """
+    return sparql(chain, q)
+
+
 def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION (round-4): links stated by EITHER version, BAG
     semantics — a (x, z) pair asserted by both v01 and v02 appears
@@ -789,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_optional": q_kg_sparql_optional,
         "kg_sparql_union": q_kg_sparql_union,
+        "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_vernum": q_kg_sparql_vernum,
     }
 
@@ -1471,6 +1494,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
                    CAST(p_partkey % 13 AS VARCHAR) AS v
             FROM part WHERE p_partkey % 13 > 9
+        """,
+        "kg_sparql_path": f"""
+            WITH RECURSIVE edges AS (
+              SELECT '{_D}C' || CAST(n_nationkey AS VARCHAR) AS src,
+                     '{_D}C' || CAST(n_nationkey + 1 AS VARCHAR) AS dst
+              FROM nation WHERE n_nationkey < 24
+            ),
+            closure(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+            )
+            SELECT src AS a, dst AS b FROM closure
         """,
         "kg_sparql_union": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,

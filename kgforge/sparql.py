@@ -13,7 +13,8 @@ straight to Catalyst plans:
             CONSTRUCT { template } WHERE { group }
             INSERT { template } WHERE { group }       (same as CONSTRUCT)
             group := triple patterns ('.'-separated, ';'/',' lists,
-                     `a` == rdf:type) | OPTIONAL { group }
+                     `a` == rdf:type, `<pred>+` one-or-more property
+                     paths on constant predicates) | OPTIONAL { group }
                      | MINUS { group } | FILTER(expr) | nested { group }
                      | { group } UNION { group } (UNION ...)*
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
@@ -130,6 +131,13 @@ class Lit:
     dt: str | None = None  # None -> plain literal (obj_dt '')
 
 
+@dataclass(frozen=True)
+class PathPlus:
+    """`<pred>+` — one-or-more property path over a CONSTANT
+    predicate (the Jena transitive idiom, e.g. rdfs:subClassOf+)."""
+    pred: str
+
+
 Term = Var | Iri | Lit
 
 
@@ -208,7 +216,7 @@ _TOKEN = re.compile(
       # PN_LOCAL may CONTAIN dots but not end with one — a trailing
       # '.' is the triple terminator (`... ns1:Variant. }`)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*])
+    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*+])
     """,
     re.VERBOSE,
 )
@@ -438,11 +446,18 @@ class _Parser:
         if k == "var":
             return Var(v)
         if k == "iri":
+            if pred and self.at("op", "+"):
+                self.next()
+                return PathPlus(v)
             return Iri(v)
         if k == "kw" and v == "a" and pred:
             return Iri(RDF_TYPE)
         if k == "pname":
-            return Iri(self._expand(v))
+            iri = self._expand(v)
+            if pred and self.at("op", "+"):
+                self.next()
+                return PathPlus(iri)
+            return Iri(iri)
         if k == "lit":
             if self.at("op", "^^"):
                 self.next()
@@ -565,12 +580,64 @@ def _iri_only_vars(g: Group) -> set[str]:
     return out
 
 
+def _compile_path_pattern(
+    triples: DataFrame,
+    pat: tuple[Term, "PathPlus", Term],
+    iri_only: set[str],
+) -> DataFrame:
+    """`s <pred>+ o` — the transitive closure of the predicate's edge
+    set, bound like an ordinary pattern. Edges are IRI-object triples
+    only (a literal cannot continue a path); the closure runs through
+    kgforge.rdfs.transitive_closure — driver DFS for grammar-sized
+    edge sets (the schema predicates this exists for), iterative
+    doubling beyond the bound. Path-bound object vars carry a NULL
+    datatype shadow (they are IRIs by construction), so joins with
+    shadow-carrying patterns reconcile instead of matching literals
+    with the same lexical form."""
+    from kgforge.rdfs import transitive_closure
+
+    s, p, o = pat
+    edges = (
+        triples.select(*TRIPLE_FIELDS)
+        .filter((F.col("pred") == p.pred) & F.col("obj_dt").isNull())
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    df = transitive_closure(edges).select(
+        F.col("src").alias("subj"), F.col("dst").alias("obj")
+    )
+    proj: dict[str, F.Column] = {}
+
+    def bind(term: Term, col: str, is_obj: bool) -> None:
+        nonlocal df
+        if isinstance(term, Var):
+            if term.name in proj:
+                df = df.filter(F.col(col) == proj[term.name])
+                return
+            proj[term.name] = F.col(col)
+            if is_obj and term.name not in iri_only:
+                # path objects are IRIs: a NULL shadow IS the IRI tag
+                proj[_dt_shadow(term.name)] = F.lit(None).cast("string")
+        elif isinstance(term, Iri):
+            df = df.filter(F.col(col) == term.value)
+        else:  # a literal can never be a path endpoint (IRI-only edges)
+            df = df.filter(F.lit(False))
+
+    bind(s, "subj", False)
+    bind(o, "obj", True)
+    out = df.select([expr.alias(name) for name, expr in proj.items()])
+    if p.pred in SCHEMA_PREDS:
+        out = broadcast(out)
+    return out
+
+
 def _compile_pattern(
     triples: DataFrame,
     pat: tuple[Term, Term, Term],
     iri_only: set[str],
 ) -> DataFrame:
     s, p, o = pat
+    if isinstance(p, PathPlus):
+        return _compile_path_pattern(triples, pat, iri_only)
     df = triples.select(*TRIPLE_FIELDS)
     proj: dict[str, F.Column] = {}
 
@@ -948,6 +1015,11 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
 
     # CONSTRUCT: instantiate the template per binding row, union, dedup
     assert q.template, "CONSTRUCT requires a template"
+    for _ts, tp, _to in q.template:
+        if isinstance(tp, PathPlus):
+            raise ValueError(
+                "property paths are not valid in CONSTRUCT/INSERT templates"
+            )
     # solution modifiers act on the binding sequence BEFORE template
     # instantiation (the instantiated graph is still a set)
     if q.order:

@@ -671,3 +671,49 @@ def test_filter_on_absent_var_is_type_error_not_crash(spark):
     assert sparql(df, q).collect() == []
     q2 = "SELECT ?s WHERE { ?s <p> ?v . FILTER(!(?nope > 3)) }"
     assert sparql(df, q2).collect() == []  # error stays error under !
+
+
+def test_property_path_plus_transitive(spark):
+    """`<pred>+` — one-or-more path: the Jena transitive idiom,
+    compiled to the materialized closure of the predicate's edges."""
+    rows = [
+        ("c:A", RDFS + "subClassOf", "c:B", None),
+        ("c:B", RDFS + "subClassOf", "c:C", None),
+        ("c:C", RDFS + "subClassOf", "c:D", None),
+        ("c:X", RDFS + "subClassOf", "lit", ""),  # literal edge: excluded
+    ]
+    df = _triples(spark, rows)
+    q = PREFIXES + "SELECT ?a ?b WHERE { ?a rdfs:subClassOf+ ?b }"
+    got = {(r.a, r.b) for r in sparql(df, q).collect()}
+    assert got == {
+        ("c:A", "c:B"), ("c:A", "c:C"), ("c:A", "c:D"),
+        ("c:B", "c:C"), ("c:B", "c:D"), ("c:C", "c:D"),
+    }
+    # constant endpoint
+    q2 = PREFIXES + "SELECT ?b WHERE { <c:A> rdfs:subClassOf+ ?b }"
+    assert {r.b for r in sparql(df, q2).collect()} == {"c:B", "c:C", "c:D"}
+    # joined with a non-path pattern sharing the path var
+    rows2 = rows + [("c:D", "label", "Dee", "")]
+    q3 = PREFIXES + "SELECT ?a ?l WHERE { ?a rdfs:subClassOf+ ?x . ?x <label> ?l }"
+    got3 = {(r.a, r.l) for r in sparql(_triples(spark, rows2), q3).collect()}
+    assert got3 == {("c:A", "Dee"), ("c:B", "Dee"), ("c:C", "Dee")}
+
+
+def test_property_path_shadow_reconciliation(spark):
+    """A path-bound var is an IRI: it must NOT join a same-lexical
+    LITERAL binding from another pattern."""
+    rows = [
+        ("a", "p", "x", None),       # IRI edge a -p-> x
+        ("s", "q", "x", ""),         # literal "x"
+        ("s", "q", "a", None),       # IRI a
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?s ?end WHERE { ?s <q> ?start . ?start <p>+ ?end }"
+    # only the IRI binding ?start = a continues into the path
+    assert {(r.s, r.end) for r in sparql(df, q).collect()} == {("s", "x")}
+
+
+def test_property_path_rejected_in_template(spark):
+    df = _triples(spark, [("a", "p", "b", None)])
+    with pytest.raises(ValueError, match="property paths"):
+        sparql(df, "CONSTRUCT { ?a <p>+ ?b } WHERE { ?a <p> ?b }")
