@@ -229,3 +229,66 @@ def test_corpus_hub_frac_plants_mega_hub(spark):
         if any(text.startswith(v) or f"\n{v}" in "\n" + text for v in hub.variants)
     )
     assert 0.2 * 400 <= hub_subj_pages  # ~30% of pages lead with the hub
+
+
+def test_tfidf_score_preserves_empty_gram_pairs(spark):
+    """Round-4 advice: a pair whose gram stream is empty on BOTH sides
+    (NULL or empty arrays) must come back scored 0.0, not vanish —
+    score_tfidf_cosine promises to preserve `pairs` cardinality."""
+    from kgforge.web.linking import compute_idf_df, score_tfidf_cosine
+
+    idf = compute_idf_df(
+        spark.createDataFrame([("alpha",), ("beta",)], "surface string")
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("alpha", "beta", ["alp", "lph", "pha"], ["bet", "eta"]),
+            ("x", "y", [], []),
+            ("p", "q", None, None),
+        ],
+        "a string, b string, grams_a array<string>, grams_b array<string>",
+    )
+    rows = {r.a: r.score for r in score_tfidf_cosine(pairs, idf).collect()}
+    assert set(rows) == {"alpha", "x", "p"}  # no row dropped
+    assert rows["x"] == 0.0 and rows["p"] == 0.0
+
+
+def test_tfidf_large_vocabulary_no_driver_state(spark):
+    """Planted very-large-vocabulary surfaces (unicode noise): the
+    TF-IDF path must stay fully columnar — no vocabulary-sized driver
+    state, no forced broadcast of the weight table (round-4 verdict
+    item 5: AQE decides). 20k random-unicode surfaces yield a gram
+    vocabulary in the hundreds of thousands; the scorer must complete
+    and score an exact duplicate pair 1.0."""
+    import random
+
+    from kgforge.web.linking import char_ngrams, compute_idf_df, score_tfidf_cosine
+
+    rng = random.Random(7)
+    # unicode noise spanning several scripts — maximizes distinct grams
+    alphabet = (
+        [chr(c) for c in range(0x0391, 0x03C9)]      # greek
+        + [chr(c) for c in range(0x0410, 0x044F)]    # cyrillic
+        + [chr(c) for c in range(0x4E00, 0x4F00)]    # cjk slice
+        + list("abcdefghijklmnopqrstuvwxyz")
+    )
+    surfaces = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(8, 24)))
+        for _ in range(20_000)
+    ]
+    sdf = spark.createDataFrame([(s,) for s in surfaces], "surface string").repartition(8)
+    idf = compute_idf_df(sdf)
+    # the weight table is genuinely large-vocabulary
+    assert idf.count() > 100_000
+    dup = surfaces[0]
+    pairs = spark.createDataFrame(
+        [(dup, dup + " ", None, None), (surfaces[1], surfaces[2], None, None)],
+        "a string, b string, grams_a array<string>, grams_b array<string>",
+    ).select(
+        "a", "b",
+        char_ngrams(F.col("a")).alias("grams_a"),
+        char_ngrams(F.col("b")).alias("grams_b"),
+    )
+    got = {r.a: r.score for r in score_tfidf_cosine(pairs, idf).collect()}
+    assert got[dup] > 0.9  # near-duplicate scores high
+    assert 0.0 <= got[surfaces[1]] < 0.5  # unrelated noise scores low
