@@ -72,3 +72,38 @@ def collapse_to_file(spark: SparkSession, spark_out_dir: str, dest_file: str) ->
         fs.delete(dest, False)
     fs.rename(part, dest)
     fs.delete(outdir, True)
+
+
+def write_text_atomic(spark: SparkSession, path: str, content: str) -> None:
+    """Pointer-grade text write: write to `<path>.tmp`, then rename()
+    over the destination — rename is atomic on HDFS and on most object
+    store committers, so a crash mid-flip leaves EITHER the old pointer
+    OR the new one, never a truncated/empty file (write_text's
+    create(overwrite=True) truncates first — fine for manifests that
+    are re-derived, wrong for a pointer readers race against).
+
+    Filesystems whose rename refuses an existing destination (Hadoop
+    RawLocalFileSystem) get delete-then-rename; the resulting
+    no-pointer window is handled by the READ side treating a missing/
+    empty/unparsable pointer as "no snapshot yet" and by writers
+    deriving state from a directory listing, never from the pointer."""
+    fs, jpath = hadoop_fs(spark, path)
+    tmp = jpath.suffix(".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, jpath):
+        fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            raise OSError(f"atomic rename to {path} failed twice")
+
+
+def list_dir_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of a directory ([] if it doesn't exist) — scheme-
+    portable via the Hadoop FileSystem API like everything else here."""
+    fs, jpath = hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(jpath))

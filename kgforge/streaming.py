@@ -147,11 +147,19 @@ def compact_mentions(
     the lineage-table shape — then materializes into a fresh snapshot
     dir <root>/snap_k with the standard bucket-level lineage machinery
     (kgforge.lineage.materialize_triples) and finally flips the
-    <root>/_current pointer. Readers (`read_compacted`) see the
-    previous snapshot until the flip; a crashed run leaves the pointer
-    untouched and either resumes bucket-by-bucket inside its snapshot
-    or is superseded by the next compaction, which re-reads the full
-    feed (nothing is ever lost to a torn run).
+    <root>/_current pointer ATOMICALLY (tmp + rename — round-4 advice:
+    the truncate-then-write flip could leave a torn/empty pointer).
+    Readers (`read_compacted`) see the previous snapshot until the
+    flip; a crashed run leaves the pointer untouched and either
+    resumes bucket-by-bucket inside its snapshot or is superseded by
+    the next compaction, which re-reads the full feed (nothing is ever
+    lost to a torn run). The snapshot index k comes from LISTING the
+    existing snap_* dirs — never from the pointer — so a crash between
+    materialize and flip can't make the next run re-enter the orphaned
+    snapshot dir (materialize_triples done-markers would then skip its
+    stale buckets); the orphan is simply left behind and the next run
+    opens snap_{k+1}. An empty or unparsable pointer (a torn flip on a
+    filesystem without atomic rename-over) reads as "no snapshot yet".
 
     Scale posture: the full re-read per compaction is the
     parquet-ledger realization — right when compactions are spaced so
@@ -160,13 +168,17 @@ def compact_mentions(
     callers prune the raw feed to the compaction horizon.
 
     Returns (snapshot_path, materialize metrics)."""
-    from kgforge.io.fs import path_exists, read_text, write_text
+    from kgforge.io.fs import list_dir_names, write_text_atomic
     from kgforge.lineage import materialize_triples
 
     root = table_root.rstrip("/")
     ptr = root + "/_current"
-    prev = read_text(spark, ptr).strip() if path_exists(spark, ptr) else None
-    k = int(prev.rsplit("_", 1)[1]) + 1 if prev else 0
+    existing = [
+        int(name.rsplit("_", 1)[1])
+        for name in list_dir_names(spark, root)
+        if name.startswith("snap_") and name.rsplit("_", 1)[1].isdigit()
+    ]
+    k = max(existing) + 1 if existing else 0
     snap = f"{root}/snap_{k}"
 
     raw = spark.read.parquet(raw_path).select(*MENTION_COLS)
@@ -184,16 +196,22 @@ def compact_mentions(
         n_buckets=n_buckets,
         salt_partitions=salt_partitions,
     )
-    write_text(spark, ptr, f"snap_{k}")
+    write_text_atomic(spark, ptr, f"snap_{k}")
     return snap, metrics
 
 
 def read_compacted(spark: SparkSession, table_root: str) -> DataFrame | None:
-    """The current compacted snapshot (None before first compaction)."""
+    """The current compacted snapshot (None before first compaction;
+    an empty or unparsable pointer — a torn flip on a filesystem
+    without atomic rename-over — also reads as None rather than
+    pointing the parquet reader at the table root)."""
     from kgforge.io.fs import path_exists, read_text
 
     root = table_root.rstrip("/")
     ptr = root + "/_current"
     if not path_exists(spark, ptr):
         return None
-    return spark.read.parquet(f"{root}/{read_text(spark, ptr).strip()}")
+    target = read_text(spark, ptr).strip()
+    if not target.startswith("snap_") or not path_exists(spark, f"{root}/{target}"):
+        return None
+    return spark.read.parquet(f"{root}/{target}")
