@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kgforge.profile import ScaleProfile
+from kgforge.profile import SAFE, ScaleProfile
 
 
 def word_shingles(text: Column, k: int = 5) -> Column:
@@ -124,8 +124,8 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket: int | None = None,
-    oversize: str = "join",
+    max_bucket: int | None = SAFE.max_bucket,
+    oversize: str = SAFE.oversize,
     profile: ScaleProfile | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (a, b) with a < b sharing ≥1 LSH band.
@@ -134,7 +134,13 @@ def minhash_lsh_candidates(
     `profile` (kgforge.profile.ScaleProfile) overrides max_bucket and
     oversize — the one-switch way to arm the guard.
 
-    max_bucket=None (default): single-shuffle bucket pair generation —
+    Defaults since round 5 are the SAFE profile's guard values
+    (max_bucket=1024, oversize="join") — output-identical to the
+    unguarded formulation with per-task memory bounded; pass
+    profile=kgforge.profile.PARITY (or max_bucket=None) for the raw
+    unguarded single-shuffle path.
+
+    max_bucket=None: single-shuffle bucket pair generation —
     groupBy(band, key) + collect_list + in-array pair explosion.
     Exactly the oracle's pair set, but an adversarial band bucket
     (boilerplate-heavy shard: 10⁶ docs with identical band signatures)
@@ -342,8 +348,8 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket: int | None = None,
-    oversize: str = "join",
+    max_bucket: int | None = SAFE.max_bucket,
+    oversize: str = SAFE.oversize,
     drop_zero: bool = False,
     profile: ScaleProfile | None = None,
 ) -> DataFrame:
@@ -372,8 +378,11 @@ def simhash_near_dups(
       true near-dup pair inside it almost surely shares one of its
       three other, colder chunk keys).
 
-    Defaults (None/False) keep the unguarded oracle-parity path.
-    `profile` (kgforge.profile.ScaleProfile) overrides all three knobs.
+    Defaults since round 5 are the SAFE profile's guard values
+    (max_bucket=1024, oversize="join" — output-identical, memory-
+    bounded; drop_zero stays False: it changes semantics). Pass
+    profile=kgforge.profile.PARITY (or max_bucket=None) for the raw
+    unguarded path. `profile` overrides all three knobs.
     """
     if profile is not None:
         max_bucket = profile.max_bucket

@@ -22,7 +22,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kgforge.profile import ScaleProfile
+from kgforge.profile import SAFE, ScaleProfile
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -166,8 +166,8 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = None,
-    oversize: str = "join",
+    max_bucket: int | None = SAFE.max_bucket,
+    oversize: str = SAFE.oversize,
     profile: ScaleProfile | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, score ≥ threshold):
@@ -198,8 +198,10 @@ def embedding_near_dups(
     explosion, oversized buckets follow `oversize` ("join" = identical
     output streamed row-at-a-time, "drop" = skip — an over-full sign
     bucket at a sane cap is a degenerate pile, not near-dup signal).
-    Defaults keep the unguarded oracle-parity path; `profile`
-    (kgforge.profile.ScaleProfile) overrides both knobs."""
+    Defaults since round 5 are the SAFE profile's guard values
+    (max_bucket=1024, oversize="join" — output-identical, memory-
+    bounded); pass profile=kgforge.profile.PARITY (or max_bucket=None)
+    for the raw unguarded path. `profile` overrides both knobs."""
     if profile is not None:
         max_bucket, oversize = profile.max_bucket, profile.oversize
     if oversize not in ("join", "drop"):

@@ -144,3 +144,35 @@ def test_profile_tunes_linking_bucket_cap(spark):
         surfaces, threshold=0.5, profile=ScaleProfile(linking_max_bucket=1)
     ).collect()
     assert capped and all(r.score == 1.0 for r in capped)  # exact tier only
+
+
+def test_safe_is_the_default_for_guarded_operators():
+    """Round-4 verdict item 6: calling a guarded operator WITHOUT a
+    profile must run under the SAFE guard values (output-identical to
+    unguarded, per-task memory bounded) — unguarded is now the
+    explicit opt-in (profile=PARITY / max_bucket=None), not the
+    default. Asserted on the signatures so a new operator (or a
+    regressed default) fails here."""
+    import inspect
+
+    from kgforge.textops.dedup import minhash_lsh_candidates, simhash_near_dups
+    from kgforge.textops.similarity import embedding_near_dups
+
+    for fn in (minhash_lsh_candidates, simhash_near_dups, embedding_near_dups):
+        params = inspect.signature(fn).parameters
+        assert params["max_bucket"].default == SAFE.max_bucket, fn.__name__
+        assert params["oversize"].default == SAFE.oversize, fn.__name__
+
+
+def test_default_guard_is_output_identical(spark):
+    """The flipped default must not change any result: default call ==
+    explicit PARITY call on a corpus with planted near-dups."""
+    from kgforge.textops.dedup import minhash_lsh_candidates
+
+    rows = [(i, f"alpha beta gamma delta epsilon zeta {i % 7}") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    default_pairs = {(r.a, r.b) for r in minhash_lsh_candidates(df).collect()}
+    parity_pairs = {
+        (r.a, r.b) for r in minhash_lsh_candidates(df, profile=PARITY).collect()
+    }
+    assert default_pairs == parity_pairs and default_pairs
