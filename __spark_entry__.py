@@ -705,19 +705,81 @@ def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure; the DuckDB oracle is WITH RECURSIVE."""
     from kgforge.sparql import sparql
 
-    nation = load(spark, sf_dir, "nation")
-    null_dt = F.lit(None).cast("string")
-    chain = nation.filter(F.col("n_nationkey") < 24).select(
-        F.concat(F.lit(DOMAIN + "C"), F.col("n_nationkey").cast("string")).alias("subj"),
-        F.lit("http://www.w3.org/2000/01/rdf-schema#subClassOf").alias("pred"),
-        F.concat(F.lit(DOMAIN + "C"), (F.col("n_nationkey") + 1).cast("string")).alias("obj"),
-        null_dt.alias("obj_dt"),
-    )
     q = """
     PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
     SELECT ?a ?b WHERE { ?a rdfs:subClassOf+ ?b }
     """
-    return sparql(chain, q)
+    return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
+
+
+def _sparql_chain_triples(spark: SparkSession, sf_dir: str, wrap: bool) -> DataFrame:
+    """subClassOf chain from the 25-row nation table; wrap=True closes
+    C24 -> C0, making the whole chain ONE cycle (the round-5 path-
+    semantics fixture: every node then reaches every node, itself
+    included)."""
+    nation = load(spark, sf_dir, "nation")
+    base = nation if wrap else nation.filter(F.col("n_nationkey") < 24)
+    nxt = (F.col("n_nationkey") + 1) % 25 if wrap else F.col("n_nationkey") + 1
+    return base.select(
+        F.concat(F.lit(DOMAIN + "C"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("http://www.w3.org/2000/01/rdf-schema#subClassOf").alias("pred"),
+        F.concat(F.lit(DOMAIN + "C"), nxt.cast("string")).alias("obj"),
+        F.lit(None).cast("string").alias("obj_dt"),
+    )
+
+
+def q_kg_sparql_path_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `+` path over a CYCLIC graph (round-5, the round-4
+    advice fix): the 25-node chain closed into one cycle — every
+    (a, b) pair including all 25 reflexive (a, a) solutions, which the
+    strict-closure compilation used to lose."""
+    from kgforge.sparql import sparql
+
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?a ?b WHERE { ?a rdfs:subClassOf+ ?b }
+    """
+    return sparql(_sparql_chain_triples(spark, sf_dir, wrap=True), q)
+
+
+def q_kg_sparql_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `*` path (round-5): the `+` closure of the open chain
+    plus zero-length identity over the graph's IRI node domain."""
+    from kgforge.sparql import sparql
+
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?a ?b WHERE { ?a rdfs:subClassOf* ?b }
+    """
+    return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
+
+
+def q_kg_sparql_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `/` sequence path (round-5): grandparent pairs of the
+    open chain — two subClassOf steps joined on a fresh middle node."""
+    from kgforge.sparql import sparql
+
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?a ?b WHERE { ?a rdfs:subClassOf/rdfs:subClassOf ?b }
+    """
+    return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
+
+
+def q_kg_sparql_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `|` alternative path (round-5): links stated by either
+    version, BAG semantics — pairs asserted under both predicates
+    appear once per assertion (the oracle is UNION ALL)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1v1: <{_SPARQL_V1}>
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT ?x ?z
+    WHERE {{ ?x (ns1v1:applicable_to|ns1v2:applicable_to) ?z }}
+    """
+    return sparql(triples, q)
 
 
 def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional": q_kg_sparql_optional,
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_path_cycle": q_kg_sparql_path_cycle,
+        "kg_sparql_path_star": q_kg_sparql_path_star,
+        "kg_sparql_path_seq": q_kg_sparql_path_seq,
+        "kg_sparql_path_alt": q_kg_sparql_path_alt,
         "kg_sparql_vernum": q_kg_sparql_vernum,
     }
 
@@ -1507,6 +1573,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
             )
             SELECT src AS a, dst AS b FROM closure
+        """,
+        # round-5 paths: the cycle closure terminates because DuckDB's
+        # recursive CTE UNION (not UNION ALL) is a distinct fixpoint
+        "kg_sparql_path_cycle": f"""
+            WITH RECURSIVE edges AS (
+              SELECT '{_D}C' || CAST(n_nationkey AS VARCHAR) AS src,
+                     '{_D}C' || CAST((n_nationkey + 1) % 25 AS VARCHAR) AS dst
+              FROM nation
+            ),
+            closure(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+            )
+            SELECT src AS a, dst AS b FROM closure
+        """,
+        "kg_sparql_path_star": f"""
+            WITH RECURSIVE edges AS (
+              SELECT '{_D}C' || CAST(n_nationkey AS VARCHAR) AS src,
+                     '{_D}C' || CAST(n_nationkey + 1 AS VARCHAR) AS dst
+              FROM nation WHERE n_nationkey < 24
+            ),
+            closure(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+            ),
+            nodes AS (
+              SELECT src AS n FROM edges UNION SELECT dst FROM edges
+            )
+            SELECT src AS a, dst AS b FROM closure
+            UNION
+            SELECT n, n FROM nodes
+        """,
+        "kg_sparql_path_seq": f"""
+            WITH edges AS (
+              SELECT '{_D}C' || CAST(n_nationkey AS VARCHAR) AS src,
+                     '{_D}C' || CAST(n_nationkey + 1 AS VARCHAR) AS dst
+              FROM nation WHERE n_nationkey < 24
+            )
+            SELECT l.src AS a, r.dst AS b
+            FROM edges l JOIN edges r ON l.dst = r.src
+        """,
+        "kg_sparql_path_alt": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                   '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+            FROM part WHERE p_partkey % 2 = 0      -- v01 branch
+            UNION ALL                               -- bag semantics
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                   '{_D}BR_' || translate(p_brand, '# ', '__')
+            FROM part
+            UNION ALL
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                   '{_D}TY_' || translate(p_type, '# ', '__')
+            FROM part
         """,
         "kg_sparql_union": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,

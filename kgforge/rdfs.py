@@ -51,12 +51,23 @@ TRIPLE_FIELDS = ["subj", "pred", "obj", "obj_dt"]
 SCHEMA_PREDS = (RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, RDFS_DOMAIN, RDFS_RANGE)
 
 
-def closure_pairs(edges: list[tuple]) -> list[tuple]:
-    """Driver-side strict transitive closure of an edge list (DFS per
-    source; cycles close without self-loops). Deterministic order."""
+def closure_pairs(edges: list[tuple], reflexive_on_cycle: bool = False) -> list[tuple]:
+    """Driver-side transitive closure of an edge list (DFS per source).
+    Deterministic order.
+
+    Default (strict): self-edges are ignored and cycle-closing pairs
+    (s, s) are filtered — the RDFS-hierarchy semantics (a class is not
+    its own STRICT super-class; rdfs_closure's oracle hashes depend on
+    this).
+
+    reflexive_on_cycle=True: SPARQL OneOrMorePath semantics — (s, s)
+    IS a solution when s has a length>=1 path back to itself (a
+    self-edge `a p a`, or a lies on a cycle a->...->a). Round-4
+    advice: the strict variant silently lost those solutions when used
+    for `<pred>+` property paths."""
     adj: dict = {}
     for s, d in edges:
-        if s != d:
+        if s != d or reflexive_on_cycle:
             adj.setdefault(s, set()).add(d)
     out: list[tuple] = []
     for s in sorted(adj):
@@ -70,7 +81,8 @@ def closure_pairs(edges: list[tuple]) -> list[tuple]:
             nxt = adj.get(d)
             if nxt:
                 stack.extend(nxt)
-        seen.discard(s)
+        if not reflexive_on_cycle:
+            seen.discard(s)
         out.extend((s, d) for d in sorted(seen))
     return out
 
@@ -81,8 +93,13 @@ def transitive_closure(
     dst: str = "dst",
     max_iter: int = 30,
     max_driver_edges: int = 200_000,
+    reflexive_on_cycle: bool = False,
 ) -> DataFrame:
     """(src, dst) edge list → all strictly-reachable pairs (src, dst).
+
+    reflexive_on_cycle=True switches to SPARQL path semantics: (s, s)
+    is kept when s reaches itself by a length>=1 path (self-edge or
+    cycle); the default stays strict (RDFS hierarchies).
 
     Fast path: schema hierarchies are grammar-sized by construction
     (module docstring), so when the deduped edge count is within
@@ -96,12 +113,12 @@ def transitive_closure(
     of depth d closes in ⌈log2 d⌉ rounds, with per-iteration
     localCheckpoint cutting lineage exactly like web.canon's CC loop.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not reflexive_on_cycle:
+        # strict semantics ignores self-edges entirely; path semantics
+        # keeps them (they are length-1 (s, s) solutions)
+        e = e.filter(F.col("src") != F.col("dst"))
+    e = e.distinct().localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple:
         row = df.select(
@@ -117,7 +134,9 @@ def transitive_closure(
         # iteration before discovering there is nothing to close
         return e
     if sig[0] <= max_driver_edges:
-        out = closure_pairs([(r.src, r.dst) for r in e.collect()])
+        out = closure_pairs(
+            [(r.src, r.dst) for r in e.collect()], reflexive_on_cycle
+        )
         return local_df(e.sparkSession, out, "src string, dst string")
     for _ in range(max_iter):
         hop = (
@@ -125,12 +144,10 @@ def transitive_closure(
             .join(e.alias("b"), F.col("a.dst") == F.col("b.src"))
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         )
-        e2 = (
-            e.unionByName(hop)
-            .filter(F.col("src") != F.col("dst"))  # cycles close to self
-            .distinct()
-            .localCheckpoint()
-        )
+        e2 = e.unionByName(hop)
+        if not reflexive_on_cycle:
+            e2 = e2.filter(F.col("src") != F.col("dst"))  # cycles close to self
+        e2 = e2.distinct().localCheckpoint()
         sig2 = _sig(e2)
         e = e2
         if sig2 == sig:

@@ -13,8 +13,14 @@ straight to Catalyst plans:
             CONSTRUCT { template } WHERE { group }
             INSERT { template } WHERE { group }       (same as CONSTRUCT)
             group := triple patterns ('.'-separated, ';'/',' lists,
-                     `a` == rdf:type, `<pred>+` one-or-more property
-                     paths on constant predicates) | OPTIONAL { group }
+                     `a` == rdf:type; predicate position takes a
+                     property path over constant predicates:
+                     p := seq ('|' seq)*; seq := elt ('/' elt)*;
+                     elt := prim ('+'|'*')?; prim := iri | 'a' | '(p)'
+                     — `+`/`*` are SET semantics incl. cycle-reflexive
+                     pairs, '/' and '|' are BAG semantics per spec;
+                     `*`'s zero-length identity ranges over the
+                     graph's IRI node domain) | OPTIONAL { group }
                      | MINUS { group } | FILTER(expr) | nested { group }
                      | { group } UNION { group } (UNION ...)*
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
@@ -65,8 +71,13 @@ straight to Catalyst plans:
 Solution compatibility after OPTIONAL: an unbound variable is
 represented as NULL and compares null-safely in later joins and MINUS
 boundaries (NULL matches only NULL) — stricter than SPARQL's
-unbound-is-compatible rule; a group whose LATER patterns re-bind a
-variable an earlier OPTIONAL left unbound is out of subset.
+unbound-is-compatible rule. A triple pattern, UNION block, nested
+group or MINUS written AFTER an OPTIONAL that touches one of the
+OPTIONAL's optionally-bound variables is out of subset and REJECTED at
+parse time (round-4 advice: the compiler reorders such patterns before
+the OPTIONAL, which changes semantics — the parser used to silently
+accept them). Chained OPTIONALs keep the documented null-safe
+semantics.
 
 RDF term typing rides along: a variable bound in object position
 carries a hidden `<var>__dt` column (None = IRI, '' = plain literal,
@@ -133,10 +144,41 @@ class Lit:
 
 @dataclass(frozen=True)
 class PathPlus:
-    """`<pred>+` — one-or-more property path over a CONSTANT
-    predicate (the Jena transitive idiom, e.g. rdfs:subClassOf+)."""
-    pred: str
+    """`elt+` — one-or-more property path (the Jena transitive idiom,
+    e.g. rdfs:subClassOf+). SPARQL path semantics incl. cycles: (s, s)
+    IS a solution when s has a length>=1 path back to itself (round-4
+    advice — the strict-closure compilation silently lost those)."""
+    elt: "PathExpr"
 
+
+@dataclass(frozen=True)
+class PathStar:
+    """`elt*` — zero-or-more: the `+` closure plus zero-length
+    identity over the graph's IRI node domain (subjects ∪ IRI
+    objects). Subset restriction: literal zero-length endpoints (the
+    spec's "every term in the graph" includes literals) are out of
+    subset — a literal cannot re-enter a path and our subject-position
+    vars are IRI-only."""
+    elt: "PathExpr"
+
+
+@dataclass(frozen=True)
+class PathSeq:
+    """`e1/e2/...` — sequence paths; BAG semantics (the spec expands a
+    sequence to a join over a fresh variable, multiplicities
+    multiply)."""
+    elts: tuple
+
+
+@dataclass(frozen=True)
+class PathAlt:
+    """`e1|e2|...` — alternative paths; BAG semantics (the spec
+    expands an alternative to UNION, duplicates kept)."""
+    alts: tuple
+
+
+PathExpr = Iri | PathPlus | PathStar | PathSeq | PathAlt
+PATH_TYPES = (PathPlus, PathStar, PathSeq, PathAlt)
 
 Term = Var | Iri | Lit
 
@@ -216,7 +258,7 @@ _TOKEN = re.compile(
       # PN_LOCAL may CONTAIN dots but not end with one — a trailing
       # '.' is the triple terminator (`... ns1:Variant. }`)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*+])
+    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*+|/])
     """,
     re.VERBOSE,
 )
@@ -263,6 +305,22 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             out.append(("kw", w.lower()) if w.lower() in _KEYWORDS else ("word", w))
         else:
             out.append(("op", m.group("op")))
+    return out
+
+
+def _pattern_vars(pats: list[tuple]) -> set[str]:
+    return {t.name for pat in pats for t in pat if isinstance(t, Var)}
+
+
+def _group_binds(g: Group) -> set[str]:
+    """Every variable a group graph pattern may BIND (patterns, UNION
+    branches, nested OPTIONALs — not MINUS/FILTER, which never bind)."""
+    out = _pattern_vars(g.patterns)
+    for alts in g.unions:
+        for a in alts:
+            out |= _group_binds(a)
+    for o in g.optionals:
+        out |= _group_binds(o)
     return out
 
 
@@ -376,14 +434,43 @@ class _Parser:
     def _group(self) -> Group:
         self.expect("op", "{")
         g = Group()
+        # pattern-after-OPTIONAL guard (round-4 advice): Group drops
+        # textual order, and the compiler joins all patterns BEFORE
+        # applying optionals — hoisting a pattern over an OPTIONAL is
+        # only semantics-preserving when it shares no variable the
+        # OPTIONAL may leave unbound (Join(LeftJoin(P,O), P2) ==
+        # LeftJoin(Join(P,P2), O) iff vars(P2) ∩ newvars(O) == ∅).
+        # `bound` tracks vars certainly bound so far; `hazard` the
+        # optional-only vars; later patterns / UNION blocks / MINUS
+        # sides touching a hazard var are out of subset and REJECTED,
+        # matching the explicit-rejection policy used elsewhere.
+        bound: set[str] = set()
+        hazard: set[str] = set()
+
+        def _check(new_vars: set[str], what: str) -> None:
+            clash = new_vars & hazard
+            if clash:
+                raise ValueError(
+                    f"{what} written after an OPTIONAL shares its "
+                    f"optionally-bound variable(s) {sorted(clash)} — the "
+                    "compiler would reorder it before the OPTIONAL "
+                    "(different semantics); out of subset"
+                )
+
         while not self.at("op", "}"):
             if self.at("kw", "minus"):
                 self.next()
-                g.minuses.append(self._group())
+                m = self._group()
+                _check(_group_binds(m), "MINUS")
+                g.minuses.append(m)
             elif self.at("kw", "optional"):
                 self.next()
-                g.optionals.append(self._group())
+                opt = self._group()
+                g.optionals.append(opt)
+                hazard |= _group_binds(opt) - bound
             elif self.at("kw", "filter"):
+                # filters are group-scoped in SPARQL (applied to the
+                # whole group regardless of position) — no hazard
                 self.next()
                 self.expect("op", "(")
                 g.filters.append(self._expr())
@@ -395,20 +482,33 @@ class _Parser:
                     while self.at("kw", "union"):
                         self.next()
                         alts.append(self._group())
+                    uvars = set().union(*(_group_binds(a) for a in alts))
+                    _check(uvars, "UNION block")
                     g.unions.append(alts)
+                    bound |= uvars
                 else:
                     # nested group graph pattern with no UNION == merge
+                    _check(_group_binds(inner), "nested group")
                     g.patterns += inner.patterns
                     g.filters += inner.filters
                     g.minuses += inner.minuses
                     g.optionals += inner.optionals
                     g.unions += inner.unions
+                    bound |= _pattern_vars(inner.patterns)
+                    for alts2 in inner.unions:
+                        bound |= set().union(*(_group_binds(a) for a in alts2))
+                    for opt in inner.optionals:
+                        hazard |= _group_binds(opt) - bound
             elif self.at("op", "."):
                 self.next()
             elif self.at("kw", "union"):
                 raise ValueError("UNION must follow a braced group pattern")
             else:
+                n_before = len(g.patterns)
                 self._triple_lists(g.patterns)
+                new_vars = _pattern_vars(g.patterns[n_before:])
+                _check(new_vars, "triple pattern")
+                bound |= new_vars
         self.expect("op", "}")
         return g
 
@@ -442,22 +542,17 @@ class _Parser:
             break
 
     def _term(self, pred: bool = False) -> Term:
+        if pred and not self.at("var"):
+            # predicate position: a property-path expression (a bare
+            # IRI/pname/`a` is the trivial path and comes back as Iri)
+            return self._path()
         k, v = self.next()
         if k == "var":
             return Var(v)
         if k == "iri":
-            if pred and self.at("op", "+"):
-                self.next()
-                return PathPlus(v)
             return Iri(v)
-        if k == "kw" and v == "a" and pred:
-            return Iri(RDF_TYPE)
         if k == "pname":
-            iri = self._expand(v)
-            if pred and self.at("op", "+"):
-                self.next()
-                return PathPlus(iri)
-            return Iri(iri)
+            return Iri(self._expand(v))
         if k == "lit":
             if self.at("op", "^^"):
                 self.next()
@@ -475,6 +570,51 @@ class _Parser:
         if pfx not in self.prefixes:
             raise ValueError(f"undeclared prefix {pfx!r}:")
         return self.prefixes[pfx] + local
+
+    # -- property paths ------------------------------------------------
+    # SPARQL Path grammar, the constant-predicate subset:
+    #   Path         := PathSequence ('|' PathSequence)*
+    #   PathSequence := PathElt ('/' PathElt)*
+    #   PathElt      := PathPrimary ('+' | '*')?
+    #   PathPrimary  := iri | pname | 'a' | '(' Path ')'
+    def _path(self):
+        alts = [self._path_seq()]
+        while self.at("op", "|"):
+            self.next()
+            alts.append(self._path_seq())
+        return alts[0] if len(alts) == 1 else PathAlt(tuple(alts))
+
+    def _path_seq(self):
+        elts = [self._path_elt()]
+        while self.at("op", "/"):
+            self.next()
+            elts.append(self._path_elt())
+        return elts[0] if len(elts) == 1 else PathSeq(tuple(elts))
+
+    def _path_elt(self):
+        prim = self._path_primary()
+        if self.at("op", "+"):
+            self.next()
+            return PathPlus(prim)
+        if self.at("op", "*"):
+            self.next()
+            return PathStar(prim)
+        return prim
+
+    def _path_primary(self):
+        if self.at("op", "("):
+            self.next()
+            p = self._path()
+            self.expect("op", ")")
+            return p
+        k, v = self.next()
+        if k == "iri":
+            return Iri(v)
+        if k == "pname":
+            return Iri(self._expand(v))
+        if k == "kw" and v == "a":
+            return Iri(RDF_TYPE)
+        raise ValueError(f"bad path element {k}:{v!r}")
 
     # -- filter expressions --------------------------------------------
     def _expr(self) -> Expr:
@@ -580,31 +720,139 @@ def _iri_only_vars(g: Group) -> set[str]:
     return out
 
 
-def _compile_path_pattern(
-    triples: DataFrame,
-    pat: tuple[Term, "PathPlus", Term],
-    iri_only: set[str],
-) -> DataFrame:
-    """`s <pred>+ o` — the transitive closure of the predicate's edge
-    set, bound like an ordinary pattern. Edges are IRI-object triples
-    only (a literal cannot continue a path); the closure runs through
-    kgforge.rdfs.transitive_closure — driver DFS for grammar-sized
-    edge sets (the schema predicates this exists for), iterative
-    doubling beyond the bound. Path-bound object vars carry a NULL
-    datatype shadow (they are IRIs by construction), so joins with
-    shadow-carrying patterns reconcile instead of matching literals
-    with the same lexical form."""
+def _path_preds(path) -> set[str]:
+    """Constant predicate IRIs a path expression touches."""
+    if isinstance(path, Iri):
+        return {path.value}
+    if isinstance(path, (PathPlus, PathStar)):
+        return _path_preds(path.elt)
+    if isinstance(path, PathSeq):
+        return set().union(*(_path_preds(e) for e in path.elts))
+    if isinstance(path, PathAlt):
+        return set().union(*(_path_preds(a) for a in path.alts))
+    raise ValueError(f"unknown path node {path!r}")
+
+
+def _node_domain(triples: DataFrame) -> DataFrame:
+    """Zero-length path identity: (n, n, NULL) over the graph's IRI
+    node domain — every subject plus every IRI object. A table-wide
+    distinct; at instance scale a bare `?a p* ?b` enumerates the whole
+    node set, which is what the spec asks for (see PathStar — literal
+    terms are the subset's one restriction)."""
+    nodes = (
+        triples.select(F.col("subj").alias("src"))
+        .unionByName(
+            triples.filter(F.col("obj_dt").isNull()).select(F.col("obj").alias("src"))
+        )
+        .distinct()
+    )
+    return nodes.select(
+        "src", F.col("src").alias("dst"), F.lit(None).cast("string").alias("dst_dt")
+    )
+
+
+def _plus_df(triples: DataFrame, elt) -> DataFrame:
+    """One-or-more closure of a path element, SPARQL semantics:
+    distinct (src, dst, dst_dt) pairs connected by >=1 step.
+
+    Continuation edges are IRI-ending (a literal cannot continue a
+    path), closed by kgforge.rdfs.transitive_closure with
+    reflexive_on_cycle=True — (s, s) IS a solution when s sits on a
+    cycle or has a self-edge (round-4 advice: the strict closure lost
+    those). Literal-ENDING steps re-enter as the final step only:
+    length-1 literal edges directly, longer paths as closure ∘ literal
+    edge."""
     from kgforge.rdfs import transitive_closure
 
+    e = _path_df(triples, elt)
+    iri_closure = transitive_closure(
+        e.filter(F.col("dst_dt").isNull()).select("src", "dst"),
+        reflexive_on_cycle=True,
+    ).select("src", "dst", F.lit(None).cast("string").alias("dst_dt"))
+    lit_edges = e.filter(F.col("dst_dt").isNotNull())
+    lit_tails = (
+        iri_closure.alias("_c")
+        .join(lit_edges.alias("_e"), F.col("_c.dst") == F.col("_e.src"))
+        .select(
+            F.col("_c.src").alias("src"),
+            F.col("_e.dst").alias("dst"),
+            F.col("_e.dst_dt").alias("dst_dt"),
+        )
+    )
+    return iri_closure.unionByName(lit_edges).unionByName(lit_tails).distinct()
+
+
+def _path_df(triples: DataFrame, path) -> DataFrame:
+    """Compile a path expression to its solution pair set
+    (src, dst, dst_dt). Bag semantics for bare predicates, `/` and `|`
+    (the spec expands them to join/UNION — duplicates kept); SET
+    semantics for `+`/`*` (defined duplicate-free)."""
+    if isinstance(path, Iri):
+        return triples.filter(F.col("pred") == path.value).select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            F.col("obj_dt").alias("dst_dt"),
+        )
+    if isinstance(path, PathAlt):
+        parts = [_path_df(triples, a) for a in path.alts]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    if isinstance(path, PathSeq):
+        out = _path_df(triples, path.elts[0])
+        for elt in path.elts[1:]:
+            step = _path_df(triples, elt)
+            out = (
+                out.filter(F.col("dst_dt").isNull())  # literals end a path
+                .alias("_l")
+                .join(step.alias("_r"), F.col("_l.dst") == F.col("_r.src"))
+                .select(
+                    F.col("_l.src").alias("src"),
+                    F.col("_r.dst").alias("dst"),
+                    F.col("_r.dst_dt").alias("dst_dt"),
+                )
+            )
+        return out
+    if isinstance(path, PathPlus):
+        return _plus_df(triples, path.elt)
+    if isinstance(path, PathStar):
+        return (
+            _plus_df(triples, path.elt)
+            .unionByName(_node_domain(triples))
+            .distinct()
+        )
+    raise ValueError(f"unknown path node {path!r}")
+
+
+def _compile_path_pattern(
+    triples: DataFrame,
+    pat: tuple[Term, object, Term],
+    iri_only: set[str],
+) -> DataFrame:
+    """`s PATH o` — the path's solution pair set bound like an
+    ordinary pattern. Object vars carry the final step's datatype as
+    their shadow (a path CAN end at a literal); subject-position
+    literals never match (RDF has no literal subjects). For a
+    top-level `*`, a constant endpoint contributes its zero-length
+    (X, X) solution even when X is absent from the graph (spec:
+    zero-length paths match the term itself); constant endpoints
+    absent from the graph under a star NESTED in a longer path are out
+    of subset (the nested star's identity ranges over the graph node
+    domain only)."""
     s, p, o = pat
-    edges = (
-        triples.select(*TRIPLE_FIELDS)
-        .filter((F.col("pred") == p.pred) & F.col("obj_dt").isNull())
-        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-    )
-    df = transitive_closure(edges).select(
-        F.col("src").alias("subj"), F.col("dst").alias("obj")
-    )
+    df = _path_df(triples, p)
+    if isinstance(p, PathStar):
+        consts = sorted({t.value for t in (s, o) if isinstance(t, Iri)})
+        if consts:
+            from kgforge.session import local_df
+
+            extra = local_df(
+                triples.sparkSession,
+                [(v, v, None) for v in consts],
+                "src string, dst string, dst_dt string",
+            )
+            df = df.unionByName(extra).distinct()
     proj: dict[str, F.Column] = {}
 
     def bind(term: Term, col: str, is_obj: bool) -> None:
@@ -612,20 +860,33 @@ def _compile_path_pattern(
         if isinstance(term, Var):
             if term.name in proj:
                 df = df.filter(F.col(col) == proj[term.name])
+                if is_obj and term.name in iri_only:
+                    df = df.filter(F.col("dst_dt").isNull())
                 return
             proj[term.name] = F.col(col)
-            if is_obj and term.name not in iri_only:
-                # path objects are IRIs: a NULL shadow IS the IRI tag
-                proj[_dt_shadow(term.name)] = F.lit(None).cast("string")
+            if is_obj:
+                if term.name in iri_only:
+                    df = df.filter(F.col("dst_dt").isNull())
+                else:
+                    proj[_dt_shadow(term.name)] = F.col("dst_dt")
         elif isinstance(term, Iri):
             df = df.filter(F.col(col) == term.value)
-        else:  # a literal can never be a path endpoint (IRI-only edges)
-            df = df.filter(F.lit(False))
+            if is_obj:
+                df = df.filter(F.col("dst_dt").isNull())
+        else:  # Lit — meaningful at the object end only
+            if is_obj:
+                df = df.filter(
+                    (F.col(col) == term.value)
+                    & (F.col("dst_dt") == (term.dt if term.dt else ""))
+                )
+            else:  # RDF has no literal subjects
+                df = df.filter(F.lit(False))
 
-    bind(s, "subj", False)
-    bind(o, "obj", True)
+    bind(s, "src", False)
+    bind(o, "dst", True)
     out = df.select([expr.alias(name) for name, expr in proj.items()])
-    if p.pred in SCHEMA_PREDS:
+    preds = _path_preds(p)
+    if preds and preds <= SCHEMA_PREDS:
         out = broadcast(out)
     return out
 
@@ -636,7 +897,7 @@ def _compile_pattern(
     iri_only: set[str],
 ) -> DataFrame:
     s, p, o = pat
-    if isinstance(p, PathPlus):
+    if isinstance(p, PATH_TYPES):
         return _compile_path_pattern(triples, pat, iri_only)
     df = triples.select(*TRIPLE_FIELDS)
     proj: dict[str, F.Column] = {}
@@ -1016,7 +1277,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     # CONSTRUCT: instantiate the template per binding row, union, dedup
     assert q.template, "CONSTRUCT requires a template"
     for _ts, tp, _to in q.template:
-        if isinstance(tp, PathPlus):
+        if isinstance(tp, PATH_TYPES):
             raise ValueError(
                 "property paths are not valid in CONSTRUCT/INSERT templates"
             )

@@ -680,7 +680,10 @@ def test_property_path_plus_transitive(spark):
         ("c:A", RDFS + "subClassOf", "c:B", None),
         ("c:B", RDFS + "subClassOf", "c:C", None),
         ("c:C", RDFS + "subClassOf", "c:D", None),
-        ("c:X", RDFS + "subClassOf", "lit", ""),  # literal edge: excluded
+        # literal edge: cannot CONTINUE a path, but (since round 5,
+        # per spec) it can END one — (c:X, "lit") is a length-1
+        # solution
+        ("c:X", RDFS + "subClassOf", "lit", ""),
     ]
     df = _triples(spark, rows)
     q = PREFIXES + "SELECT ?a ?b WHERE { ?a rdfs:subClassOf+ ?b }"
@@ -688,6 +691,7 @@ def test_property_path_plus_transitive(spark):
     assert got == {
         ("c:A", "c:B"), ("c:A", "c:C"), ("c:A", "c:D"),
         ("c:B", "c:C"), ("c:B", "c:D"), ("c:C", "c:D"),
+        ("c:X", "lit"),
     }
     # constant endpoint
     q2 = PREFIXES + "SELECT ?b WHERE { <c:A> rdfs:subClassOf+ ?b }"
@@ -717,3 +721,127 @@ def test_property_path_rejected_in_template(spark):
     df = _triples(spark, [("a", "p", "b", None)])
     with pytest.raises(ValueError, match="property paths"):
         sparql(df, "CONSTRUCT { ?a <p>+ ?b } WHERE { ?a <p> ?b }")
+
+
+# ----------------------------------------------------------- round-5 paths
+def test_path_plus_self_loop_and_cycle(spark):
+    """SPARQL OneOrMorePath yields (a, a) when a has a self-edge or
+    lies on a cycle (round-4 advice: the strict closure lost these)."""
+    rows = [
+        ("c:A", "p", "c:A", None),              # self-edge
+        ("c:A", "p", "c:B", None),
+        ("c:C", "p", "c:D", None),              # 2-cycle
+        ("c:D", "p", "c:C", None),
+    ]
+    got = {(r.a, r.b) for r in sparql(_triples(spark, rows),
+           "SELECT ?a ?b WHERE { ?a <p>+ ?b }").collect()}
+    assert got == {
+        ("c:A", "c:A"), ("c:A", "c:B"),
+        ("c:C", "c:D"), ("c:D", "c:C"), ("c:C", "c:C"), ("c:D", "c:D"),
+    }
+
+
+def test_path_star_identity_and_constant_endpoint(spark):
+    """`p*` = `p+` ∪ zero-length identity over the graph's IRI node
+    domain; a CONSTANT endpoint contributes its own (X, X) even when X
+    is absent from the graph."""
+    rows = [("c:A", "p", "c:B", None), ("c:Z", "q", "lit", "")]
+    df = _triples(spark, rows)
+    got = {(r.a, r.b) for r in sparql(df, "SELECT ?a ?b WHERE { ?a <p>* ?b }").collect()}
+    # identity covers ALL graph IRI nodes (c:Z too), not just p's
+    assert got == {
+        ("c:A", "c:A"), ("c:A", "c:B"), ("c:B", "c:B"), ("c:Z", "c:Z"),
+    }
+    got2 = {r.b for r in sparql(df, "SELECT ?b WHERE { <c:NEW> <p>* ?b }").collect()}
+    assert got2 == {"c:NEW"}  # zero-length match of the term itself
+
+
+def test_path_sequence_and_alternative_bag_semantics(spark):
+    """`/` joins steps; `|` unions branches keeping duplicates (the
+    spec expands both without a DISTINCT)."""
+    rows = [
+        ("c:A", "p", "c:B", None),
+        ("c:B", "q", "c:C", None),
+        ("c:A", "q", "c:B", None),   # A reaches B under BOTH p and q
+    ]
+    df = _triples(spark, rows)
+    seq = [(r.a, r.b) for r in sparql(df, "SELECT ?a ?b WHERE { ?a <p>/<q> ?b }").collect()]
+    assert sorted(seq) == [("c:A", "c:C")]
+    alt = sorted((r.a, r.b) for r in sparql(df, "SELECT ?a ?b WHERE { ?a <p>|<q> ?b }").collect())
+    assert alt == [("c:A", "c:B"), ("c:A", "c:B"), ("c:B", "c:C")]  # dup kept
+
+
+def test_path_literal_tail_and_typed_literal_endpoint(spark):
+    """A path may END at a literal (the final step only); the bound
+    var carries the literal's datatype shadow, and a literal CONSTANT
+    endpoint matches datatype-exactly."""
+    rows = [
+        ("c:A", "p", "c:B", None),
+        ("c:B", "p", "5", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("c:X", "p", "5", ""),  # plain-literal 5 — a different term
+    ]
+    df = _triples(spark, rows)
+    q = ('PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+         'SELECT ?a WHERE { ?a <p>+ "5"^^xsd:integer }')
+    assert {r.a for r in sparql(df, q).collect()} == {"c:A", "c:B"}
+    q2 = 'SELECT ?a WHERE { ?a <p>+ "5" }'
+    assert {r.a for r in sparql(df, q2).collect()} == {"c:X"}
+
+
+def test_path_nested_star_in_sequence(spark):
+    """`p/q*` — a nested star composes through the graph-domain
+    identity (zero q-steps keeps the p endpoint)."""
+    rows = [
+        ("c:A", "p", "c:B", None),
+        ("c:B", "q", "c:C", None),
+    ]
+    got = {(r.a, r.b) for r in sparql(_triples(spark, rows),
+           "SELECT ?a ?b WHERE { ?a <p>/<q>* ?b }").collect()}
+    assert got == {("c:A", "c:B"), ("c:A", "c:C")}
+
+
+def test_path_rejected_forms(spark):
+    df = _triples(spark, [("c:A", "p", "c:B", None)])
+    with pytest.raises(ValueError):  # path in CONSTRUCT template
+        sparql(df, "CONSTRUCT { ?a <p>+ ?b } WHERE { ?a <p> ?b }")
+    with pytest.raises(ValueError):  # var inside a path
+        sparql(df, "SELECT ?a WHERE { ?a <p>/?x ?b }")
+
+
+def test_pattern_after_optional_sharing_its_var_rejected(spark):
+    """Round-4 advice: { P1 OPTIONAL {O} P2 } with P2 touching a var
+    only O binds would be compiled under REORDERED semantics — the
+    parser must reject it like other out-of-subset constructs."""
+    df = _triples(spark, VERSION_ROWS)
+    bad = PREFIXES + """SELECT ?x ?w WHERE {
+        ?x a ns1:PNR .
+        OPTIONAL { ?x ns1v1:applicable_to ?w }
+        ?w a ns1:Variant .
+    }"""
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        sparql(df, bad)
+    # MINUS after OPTIONAL touching the optional var: same hazard
+    bad2 = PREFIXES + """SELECT ?x WHERE {
+        ?x a ns1:PNR .
+        OPTIONAL { ?x ns1v1:applicable_to ?w }
+        MINUS { ?w a ns1:Variant }
+    }"""
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        sparql(df, bad2)
+
+
+def test_pattern_after_optional_disjoint_vars_ok(spark):
+    """A post-OPTIONAL pattern sharing only vars bound BEFORE the
+    OPTIONAL is hoist-safe (Join/LeftJoin commute there) and stays in
+    subset."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """SELECT ?x ?w ?t WHERE {
+        ?x a ns1:PNR .
+        OPTIONAL { ?x ns1v1:applicable_to ?w }
+        ?x ns1v2:applicable_to ?t .
+    }"""
+    got = {(r.x, r.w, r.t) for r in sparql(df, q).collect()}
+    assert got == {
+        (NS + "part12", NS + "variantA", NS + "variantA"),
+        (NS + "part12", NS + "variantA", NS + "variantB"),
+    }
