@@ -782,6 +782,54 @@ def q_kg_sparql_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER EXISTS (round-5): correlated left-semi — current-
+    version links of parts that ALSO carry a superseded v01 statement
+    (even part keys)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1v1: <{_SPARQL_V1}>
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT ?x ?z
+    WHERE {{
+        ?x ns1v2:applicable_to ?z .
+        FILTER EXISTS {{ ?x ns1v1:applicable_to ?w }}
+    }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS (round-5) — BOTH behaviors that make
+    it semantically distinct from MINUS in one oracled result: a
+    correlated branch (v02 links of parts with NO v01 statement:
+    left-anti on the shared ?x) UNIONed with an uncorrelated branch
+    whose existence probe matches nothing (all rows kept — where a
+    MINUS would also be a no-op, but for the opposite reason: were the
+    probe non-empty, NOT EXISTS would drop EVERY row while MINUS with
+    disjoint domains still keeps them all; the pytest suite asserts
+    that contrast directly)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    prefix ns1v1: <{_SPARQL_V1}>
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT ?x ?z
+    WHERE {{
+        {{ ?x ns1v2:applicable_to ?z .
+           FILTER NOT EXISTS {{ ?x ns1v1:applicable_to ?w }} }}
+        UNION
+        {{ ?x ns1v1:applicable_to ?z .
+           FILTER NOT EXISTS {{ ?q ns1:no_such_pred ?w }} }}
+    }}
+    """
+    return sparql(triples, q)
+
+
 def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UNION (round-4): links stated by EITHER version, BAG
     semantics — a (x, z) pair asserted by both v01 and v02 appears
@@ -873,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_optional": q_kg_sparql_optional,
         "kg_sparql_union": q_kg_sparql_union,
+        "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_sparql_notexists": q_kg_sparql_notexists,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_path_cycle": q_kg_sparql_path_cycle,
         "kg_sparql_path_star": q_kg_sparql_path_star,
@@ -1573,6 +1623,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
             )
             SELECT src AS a, dst AS b FROM closure
+        """,
+        "kg_sparql_exists": f"""
+            WITH v2 AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+            ),
+            v1 AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT x, z FROM v2
+            WHERE EXISTS (SELECT 1 FROM v1 WHERE v1.x = v2.x)
+        """,
+        "kg_sparql_notexists": f"""
+            WITH v2 AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+            ),
+            v1 AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT x, z FROM v2
+            WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.x = v2.x)
+            UNION ALL
+            SELECT x, z FROM v1   -- probe pred absent: every row kept
         """,
         # round-5 paths: the cycle closure terminates because DuckDB's
         # recursive CTE UNION (not UNION ALL) is a distinct fixpoint

@@ -22,6 +22,9 @@ straight to Catalyst plans:
                      `*`'s zero-length identity ranges over the
                      graph's IRI node domain) | OPTIONAL { group }
                      | MINUS { group } | FILTER(expr) | nested { group }
+                     | FILTER [NOT] EXISTS { group }  (top-level only,
+                       bare or parenthesized; EXISTS nested in boolean
+                       expressions is out of subset)
                      | { group } UNION { group } (UNION ...)*
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
                      BOUND(?v), REGEX(?v, "pat"[, "flags"]); operands
@@ -37,7 +40,12 @@ straight to Catalyst plans:
             side is grammar-sized, so e.g. the version-resolution
             query's inference join never shuffles the schema side.
             MINUS compiles to LEFT ANTI on the shared variables
-            (SPARQL-correct: no shared variables -> no-op); a MINUS
+            (SPARQL-correct: no shared variables -> no-op); FILTER
+            [NOT] EXISTS compiles to LEFT SEMI / LEFT ANTI on the
+            shared variables — semantically DISTINCT from MINUS: with
+            no shared variables it is a pure existence probe (all rows
+            kept or dropped together), the classic disjoint-domain
+            case where the two operators give different answers; a MINUS
             side that derives from instance triples is instance-scale,
             so the anti-join itself is a sort-merge join by design
             (AQE demotes it to broadcast at runtime when it is small).
@@ -190,6 +198,7 @@ class Group:
     minuses: list["Group"] = field(default_factory=list)
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)  # one entry per UNION chain
+    exists: list[tuple[bool, "Group"]] = field(default_factory=list)  # (negated, group)
 
     def all_vars(self) -> list[str]:
         """Variables of this group's own patterns, first-seen order."""
@@ -467,14 +476,50 @@ class _Parser:
                 self.next()
                 opt = self._group()
                 g.optionals.append(opt)
-                hazard |= _group_binds(opt) - bound
+                new_hazard = _group_binds(opt) - bound
+                # the REVERSE reorder: the compiler applies optionals
+                # BEFORE minuses, so a MINUS already parsed that shares
+                # this OPTIONAL's new vars would also run under
+                # different semantics than written — reject both
+                # directions ("MINUS and OPTIONAL may not share
+                # optionally-bound variables")
+                for m in g.minuses:
+                    clash = _group_binds(m) & new_hazard
+                    if clash:
+                        raise ValueError(
+                            "MINUS written before an OPTIONAL shares its "
+                            f"optionally-bound variable(s) {sorted(clash)} — "
+                            "the compiler applies optionals first "
+                            "(different semantics); out of subset"
+                        )
+                hazard |= new_hazard
             elif self.at("kw", "filter"):
                 # filters are group-scoped in SPARQL (applied to the
-                # whole group regardless of position) — no hazard
+                # whole group regardless of position) — no hazard.
+                # FILTER [NOT] EXISTS { G } is the brace-group form
+                # (top-level only; EXISTS nested inside boolean
+                # expressions is out of subset)
                 self.next()
-                self.expect("op", "(")
-                g.filters.append(self._expr())
-                self.expect("op", ")")
+                wrapped = False
+                if self.at("op", "("):
+                    k2, v2 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else ("eof", "")
+                    if k2 == "word" and v2.lower() in ("exists", "not"):
+                        self.next()
+                        wrapped = True
+                if self.at("word") and self.peek()[1].lower() in ("exists", "not"):
+                    negated = self.next()[1].lower() == "not"
+                    if negated:
+                        k2, v2 = self.next()
+                        if k2 != "word" or v2.lower() != "exists":
+                            raise ValueError("expected EXISTS after NOT")
+                    g.exists.append((negated, self._group()))
+                    if wrapped:
+                        self.expect("op", ")")
+                else:
+                    if not wrapped:
+                        self.expect("op", "(")
+                    g.filters.append(self._expr())
+                    self.expect("op", ")")
             elif self.at("op", "{"):
                 inner = self._group()
                 if self.at("kw", "union"):
@@ -1099,6 +1144,36 @@ def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
             broadcast_if_schema_only(m, mdf.select(keep)).alias("_r"),
             cond,
             "left_anti",
+        )
+    for negated, eg in g.exists:
+        # FILTER [NOT] EXISTS — correlation on the SHARED variables:
+        # left_semi (EXISTS) / left_anti (NOT EXISTS) with the same
+        # dt-reconciled null-safe boundary as MINUS/OPTIONAL. Unlike
+        # MINUS, NO shared variables does NOT make it a no-op: the
+        # filter then degenerates to "does the inner pattern have any
+        # solution at all" — every row kept or dropped together (the
+        # classic disjoint-domain case where NOT EXISTS and MINUS give
+        # different answers). Correlation through a variable an
+        # earlier OPTIONAL left unbound follows the engine's null-safe
+        # semantics (NULL matches only NULL), stricter than the
+        # spec's substitution semantics.
+        edf = _compile_group(triples, eg)
+        shared = sorted(
+            c
+            for c in set(acc.columns) & set(edf.columns)
+            if not c.startswith("__dt_")
+        )
+        if shared:
+            keep = shared + [
+                _dt_shadow(v) for v in shared if _dt_shadow(v) in edf.columns
+            ]
+            cond = _boundary_cond(acc.columns, edf.columns, shared)
+            side = broadcast_if_schema_only(eg, edf.select(keep))
+        else:
+            cond = F.lit(True)
+            side = edf.limit(1)  # pure existence probe — one row suffices
+        acc = acc.alias("_l").join(
+            side.alias("_r"), cond, "left_anti" if negated else "left_semi"
         )
     for f_expr in g.filters:
         acc = acc.filter(_compile_expr(f_expr, set(acc.columns)))

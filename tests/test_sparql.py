@@ -845,3 +845,71 @@ def test_pattern_after_optional_disjoint_vars_ok(spark):
         (NS + "part12", NS + "variantA", NS + "variantA"),
         (NS + "part12", NS + "variantA", NS + "variantB"),
     }
+
+
+# ------------------------------------------------------ round-5 EXISTS
+def test_not_exists_vs_minus_disjoint_domain(spark):
+    """The classic divergence: with NO shared variables, MINUS is a
+    no-op but NOT EXISTS is a pure existence probe that drops every
+    row when the inner pattern has any solution."""
+    df = _triples(spark, VERSION_ROWS)
+    keep_all = PREFIXES + """SELECT ?v WHERE {
+        ?v a ns1:Variant .
+        MINUS { ?other a ns1:PNR }
+    }"""
+    assert len(sparql(df, keep_all).collect()) == 2
+    drop_all = PREFIXES + """SELECT ?v WHERE {
+        ?v a ns1:Variant .
+        FILTER NOT EXISTS { ?other a ns1:PNR }
+    }"""
+    assert sparql(df, drop_all).collect() == []
+    # inner pattern with NO solutions: every row kept
+    keep_all2 = PREFIXES + """SELECT ?v WHERE {
+        ?v a ns1:Variant .
+        FILTER NOT EXISTS { ?other a ns1:Nonexistent }
+    }"""
+    assert len(sparql(df, keep_all2).collect()) == 2
+
+
+def test_exists_correlated_semi_join(spark):
+    """Correlated EXISTS -> left semi on the shared vars; the
+    parenthesized FILTER(NOT EXISTS {...}) form parses too."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """SELECT DISTINCT ?x WHERE {
+        ?x ns1v2:applicable_to ?z .
+        FILTER EXISTS { ?x ns1v1:applicable_to ?w }
+    }"""
+    assert {r.x for r in sparql(df, q).collect()} == {NS + "part12"}
+    q2 = PREFIXES + """SELECT DISTINCT ?z WHERE {
+        ?x ns1v2:applicable_to ?z .
+        FILTER(NOT EXISTS { ?y ns1v1:applicable_to ?z })
+    }"""
+    # variantA is v1-stated -> only variantB survives
+    assert {r.z for r in sparql(df, q2).collect()} == {NS + "variantB"}
+
+
+def test_exists_datatype_boundary(spark):
+    """EXISTS correlation is TERM-based: a literal binding never
+    matches an IRI binding with the same lexical form."""
+    rows = [
+        ("s1", "p", "x", ""),      # literal "x"
+        ("s2", "p", "x", None),    # IRI x
+        ("x", "q", "ok", ""),      # only the IRI x has a q edge
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?s WHERE { ?s <p> ?v . FILTER EXISTS { ?v <q> ?w } }"
+    assert {r.s for r in sparql(df, q).collect()} == {"s2"}
+
+
+def test_minus_before_optional_sharing_var_rejected(spark):
+    """The reverse reorder of the round-5 guard: the compiler applies
+    optionals before minuses, so a MINUS written BEFORE an OPTIONAL
+    that shares its optionally-bound var must be rejected too."""
+    df = _triples(spark, VERSION_ROWS)
+    bad = PREFIXES + """SELECT ?x WHERE {
+        ?x a ns1:PNR .
+        MINUS { ?w a ns1:Variant }
+        OPTIONAL { ?x ns1v1:applicable_to ?w }
+    }"""
+    with pytest.raises(ValueError, match="MINUS written before an OPTIONAL"):
+        sparql(df, bad)
