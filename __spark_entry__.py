@@ -866,6 +866,46 @@ def _sparql_vernum_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES (round-5): inline typed-literal bindings restrict
+    the vernum table to versions 3 and 7 — a broadcast local-relation
+    join, term-exact (a plain "3" would NOT match)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_vernum_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    prefix xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?s ?v
+    WHERE {{
+        ?s ns1:vernum ?v .
+        VALUES ?v {{ "3"^^xsd:integer "7"^^xsd:integer }}
+    }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates (round-5): the "which parts have N versioned
+    statements" follow-up to the reference's version-resolution query
+    — COUNT over the subPropertyOf-inferred link set, GROUP BY the
+    part, ORDER BY for a deterministic top slice."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    prefix ns1: <{DOMAIN}>
+    SELECT ?x (COUNT(?z) AS ?n)
+    WHERE {{
+        ?x ?p ?z .
+        ?p rdfs:subPropertyOf ns1:applicable_to .
+    }}
+    GROUP BY ?x
+    """
+    return sparql(triples, q)
+
+
 def q_kg_sparql_vernum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL numeric promotion (round-4): FILTER over integer-typed
     literals compares NUMERICALLY — versions 10..12 beat "9" even
@@ -929,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_seq": q_kg_sparql_path_seq,
         "kg_sparql_path_alt": q_kg_sparql_path_alt,
         "kg_sparql_vernum": q_kg_sparql_vernum,
+        "kg_sparql_values": q_kg_sparql_values,
+        "kg_sparql_agg": q_kg_sparql_agg,
     }
 
 
@@ -1605,6 +1647,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT sel.x AS x, sel.z AS z, opt.w AS w
             FROM sel LEFT JOIN opt ON opt.x = sel.x
+        """,
+        "kg_sparql_values": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
+                   CAST(p_partkey % 13 AS VARCHAR) AS v
+            FROM part WHERE p_partkey % 13 IN (3, 7)
+        """,
+        "kg_sparql_agg": f"""
+            WITH links AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}BR_' || translate(p_brand, '# ', '__')
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT x, CAST(COUNT(z) AS BIGINT) AS n
+            FROM links GROUP BY x
         """,
         "kg_sparql_vernum": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,

@@ -9,7 +9,12 @@ WITHOUT an external triple store, by compiling that SPARQL subset
 straight to Catalyst plans:
 
   grammar   PREFIX pfx: <iri>
-            SELECT [DISTINCT] (?v ... | *) WHERE { group }
+            SELECT [DISTINCT] (?v | (FN([DISTINCT] ?v|*) AS ?alias)
+            ... | *) WHERE { group } [GROUP BY ?v ...]
+              — FN ∈ COUNT|SUM|MIN|MAX; grouping is term-based
+              (datatype shadows join the keys); projected plain vars
+              must be grouped; COUNT skips unbound; SUM try_casts
+              lexical forms to double; MIN/MAX compare lexical forms
             CONSTRUCT { template } WHERE { group }
             INSERT { template } WHERE { group }       (same as CONSTRUCT)
             group := triple patterns ('.'-separated, ';'/',' lists,
@@ -25,6 +30,12 @@ straight to Catalyst plans:
                      | FILTER [NOT] EXISTS { group }  (top-level only,
                        bare or parenthesized; EXISTS nested in boolean
                        expressions is out of subset)
+                     | VALUES ?v { term... }
+                     | VALUES (?v ...) { (term ...) ... }   (inline
+                       bindings: a broadcast local relation joined in
+                       datatype-reconciled, bag semantics; bare
+                       numbers carry xsd:integer/xsd:decimal; UNDEF is
+                       out of subset)
                      | { group } UNION { group } (UNION ...)*
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
                      BOUND(?v), REGEX(?v, "pat"[, "flags"]); operands
@@ -199,6 +210,7 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)  # one entry per UNION chain
     exists: list[tuple[bool, "Group"]] = field(default_factory=list)  # (negated, group)
+    values: list[tuple[list[str], list[list[Term]]]] = field(default_factory=list)
 
     def all_vars(self) -> list[str]:
         """Variables of this group's own patterns, first-seen order."""
@@ -208,6 +220,15 @@ class Group:
                 if isinstance(t, Var) and t.name not in out:
                     out.append(t.name)
         return out
+
+
+@dataclass(frozen=True)
+class Agg:
+    """One aggregate projection: `(FN([DISTINCT] ?var|*) AS ?alias)`."""
+    fn: str  # count | sum | min | max
+    var: str | None  # None -> COUNT(*)
+    distinct: bool
+    alias: str
 
 
 @dataclass
@@ -220,6 +241,11 @@ class Query:
     order: list[tuple[str, bool]] | None = None  # (var, descending)
     limit: int | None = None
     offset: int | None = None
+    #: projection order when aggregates are present: ("var", name) |
+    #: ("agg", index into aggs); None for plain (non-aggregate) SELECT
+    select_items: list[tuple[str, object]] | None = None
+    aggs: list[Agg] = field(default_factory=list)
+    group_by: list[str] | None = None
 
 
 # filter expression AST
@@ -274,7 +300,7 @@ _TOKEN = re.compile(
 
 _KEYWORDS = {
     "prefix", "select", "construct", "insert", "where", "distinct",
-    "minus", "filter", "optional", "union", "a",
+    "minus", "filter", "optional", "union", "a", "values", "group",
     "order", "by", "asc", "desc", "limit", "offset",
 }
 
@@ -386,21 +412,79 @@ class _Parser:
             self.next()
             distinct = True
         sel: list[str] | None
+        items: list[tuple[str, object]] = []
+        aggs: list[Agg] = []
         if self.at("op", "*"):
             self.next()
             sel = None
         else:
-            sel = []
-            while self.at("var"):
-                sel.append(self.next()[1])
-            if not sel:
-                raise ValueError("SELECT needs ?vars or *")
+            while True:
+                if self.at("var"):
+                    items.append(("var", self.next()[1]))
+                elif self.at("op", "("):
+                    aggs.append(self._agg_item())
+                    items.append(("agg", len(aggs) - 1))
+                else:
+                    break
+            if not items:
+                raise ValueError("SELECT needs ?vars, aggregates or *")
+            sel = [name for kind, name in items if kind == "var"]
         if self.at("kw", "where"):
             self.next()
         group = self._group()
-        q = Query("select", group, select_vars=sel, distinct=distinct)
+        gb: list[str] | None = None
+        if self.at("kw", "group"):
+            self.next()
+            self.expect("kw", "by")
+            gb = []
+            while self.at("var"):
+                gb.append(self.next()[1])
+            if not gb:
+                raise ValueError("GROUP BY needs at least one ?variable")
+        if aggs or gb is not None:
+            if sel is None:
+                raise ValueError("SELECT * cannot combine with aggregates/GROUP BY")
+            if distinct:
+                raise ValueError("SELECT DISTINCT with aggregates is out of subset")
+            q = Query(
+                "select", group, select_vars=sel, select_items=items,
+                aggs=aggs, group_by=gb,
+            )
+        else:
+            q = Query("select", group, select_vars=sel, distinct=distinct)
         self._modifiers(q)
         return q
+
+    def _agg_item(self) -> Agg:
+        """`( FN ( [DISTINCT] ?var | * ) AS ?alias )` — the aggregate
+        projection form. FN ∈ COUNT | SUM | MIN | MAX (SUM coerces
+        lexical forms with try_cast double — non-numeric terms become
+        NULL and are ignored, the subset's reading of the spec's
+        type-error rule)."""
+        self.expect("op", "(")
+        k, v = self.next()
+        fn = v.lower() if k == "word" else ""
+        if fn not in ("count", "sum", "min", "max"):
+            raise ValueError(f"unsupported aggregate {v!r}")
+        self.expect("op", "(")
+        distinct = False
+        if self.at("kw", "distinct"):
+            self.next()
+            distinct = True
+        if self.at("op", "*"):
+            self.next()
+            var = None
+            if fn != "count":
+                raise ValueError(f"{fn.upper()}(*) is not a thing; only COUNT(*)")
+        else:
+            var = self.expect("var")
+        self.expect("op", ")")
+        if not (self.at("word") and self.peek()[1].lower() == "as"):
+            raise ValueError("aggregate projection needs AS ?alias")
+        self.next()
+        alias = self.expect("var")
+        self.expect("op", ")")
+        return Agg(fn, var, distinct, alias)
 
     def _modifiers(self, q: Query) -> None:
         """ORDER BY (ASC(?v)|DESC(?v)|?v)+ / LIMIT n / OFFSET n."""
@@ -544,6 +628,12 @@ class _Parser:
                         bound |= set().union(*(_group_binds(a) for a in alts2))
                     for opt in inner.optionals:
                         hazard |= _group_binds(opt) - bound
+            elif self.at("kw", "values"):
+                self.next()
+                vars_, rows = self._values_block()
+                _check(set(vars_), "VALUES block")
+                g.values.append((vars_, rows))
+                bound |= set(vars_)
             elif self.at("op", "."):
                 self.next()
             elif self.at("kw", "union"):
@@ -615,6 +705,66 @@ class _Parser:
         if pfx not in self.prefixes:
             raise ValueError(f"undeclared prefix {pfx!r}:")
         return self.prefixes[pfx] + local
+
+    # -- VALUES --------------------------------------------------------
+    def _values_block(self) -> tuple[list[str], list[list[Term]]]:
+        """`VALUES ?v { t ... }` or `VALUES (?v ...) { (t ...) ... }`.
+        Terms are IRIs/pnames, (typed) literals, or bare numbers
+        (which carry xsd:integer / xsd:decimal datatypes, the spec's
+        numeric-literal mapping); UNDEF is out of subset."""
+        if self.at("var"):
+            vars_ = [self.next()[1]]
+            self.expect("op", "{")
+            rows = []
+            while not self.at("op", "}"):
+                rows.append([self._values_term()])
+            self.next()
+            return vars_, rows
+        self.expect("op", "(")
+        vars_ = []
+        while self.at("var"):
+            vars_.append(self.next()[1])
+        if not vars_:
+            raise ValueError("VALUES needs at least one ?variable")
+        self.expect("op", ")")
+        self.expect("op", "{")
+        rows = []
+        while not self.at("op", "}"):
+            self.expect("op", "(")
+            row = []
+            while not self.at("op", ")"):
+                row.append(self._values_term())
+            self.next()
+            if len(row) != len(vars_):
+                raise ValueError(
+                    f"VALUES row width {len(row)} != variable count {len(vars_)}"
+                )
+            rows.append(row)
+        self.next()
+        return vars_, rows
+
+    def _values_term(self) -> Term:
+        k, v = self.next()
+        if k == "iri":
+            return Iri(v)
+        if k == "pname":
+            return Iri(self._expand(v))
+        if k == "lit":
+            if self.at("op", "^^"):
+                self.next()
+                dk, dv = self.next()
+                if dk == "iri":
+                    return Lit(v, dv)
+                if dk == "pname":
+                    return Lit(v, self._expand(dv))
+                raise ValueError(f"bad datatype token {dk}:{dv!r}")
+            return Lit(v)
+        if k == "num":
+            dt = "integer" if re.fullmatch(r"[+-]?\d+", v) else "decimal"
+            return Lit(v, _XSD_NS + dt)
+        if k == "word" and v.lower() == "undef":
+            raise ValueError("UNDEF in VALUES is out of subset")
+        raise ValueError(f"bad VALUES term {k}:{v!r}")
 
     # -- property paths ------------------------------------------------
     # SPARQL Path grammar, the constant-predicate subset:
@@ -1090,8 +1240,31 @@ def _reconciled_join(acc: DataFrame, other: DataFrame) -> DataFrame:
     )
 
 
+def _values_df(spark, vars_: list[str], rows: list[list]) -> DataFrame:
+    """Inline VALUES data as a local relation: one lexical column per
+    variable plus its datatype shadow (a block may mix IRIs and
+    literals), joined into the group datatype-reconciled. Bag
+    semantics — duplicate rows are kept as written."""
+    from kgforge.session import local_df
+
+    cols: list[str] = []
+    for v in vars_:
+        cols += [v, _dt_shadow(v)]
+    data = []
+    for row in rows:
+        out: list[str | None] = []
+        for t in row:
+            if isinstance(t, Iri):
+                out += [t.value, None]
+            else:  # Lit
+                out += [t.value, t.dt if t.dt else ""]
+        data.append(tuple(out))
+    schema = ", ".join(f"{c} string" for c in cols)
+    return local_df(spark, data, schema)
+
+
 def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
-    if not g.patterns and not g.unions:
+    if not g.patterns and not g.unions and not g.values:
         raise ValueError("empty group graph pattern")
     iri_only = _iri_only_vars(g)
     acc: DataFrame | None = None
@@ -1100,6 +1273,11 @@ def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
     for alts in g.unions:
         ublock = _compile_union(triples, alts)
         acc = ublock if acc is None else _reconciled_join(acc, ublock)
+    for vars_, rows in g.values:
+        vdf = _values_df(triples.sparkSession, vars_, rows)
+        # inline data is row-count-tiny by construction — broadcast it
+        # so the restriction join never shuffles the instance side
+        acc = vdf if acc is None else _reconciled_join(acc, broadcast(vdf))
     assert acc is not None
     for opt in g.optionals:
         # OPTIONAL = left outer join; the optional side computes its
@@ -1292,6 +1470,85 @@ def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
     raise ValueError(f"unknown expr {e!r}")
 
 
+def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
+    """SELECT with aggregates / GROUP BY: grouping is TERM-based (the
+    datatype shadows participate in the keys — "5" plain and
+    "5"^^xsd:integer are different groups even though both print as
+    "5"), then the lexical forms project. COUNT(?v) skips unbound
+    (NULL) rows; COUNT(DISTINCT ?v) counts distinct TERMS; SUM coerces
+    with try_cast double (non-numeric → NULL → ignored); MIN/MAX
+    compare lexical forms (the subset's ordering). A projected plain
+    variable must be grouped (the spec's rule); GROUP BY with no
+    aggregates degenerates to one row per group."""
+    gb = q.group_by or []
+    missing = [v for v in gb if v not in bound.columns]
+    if missing:
+        raise ValueError(f"GROUP BY on unbound variable(s) {missing}")
+    plain = [name for kind, name in q.select_items if kind == "var"]
+    bad = [v for v in plain if v not in gb]
+    if bad:
+        raise ValueError(
+            f"non-grouped variable(s) {bad} projected next to aggregates"
+        )
+    keys: list[str] = []
+    for v in gb:
+        keys.append(v)
+        if _dt_shadow(v) in bound.columns:
+            keys.append(_dt_shadow(v))
+
+    def agg_col(a: Agg) -> F.Column:
+        if a.fn == "count" and a.var is None:
+            return F.count(F.lit(1)).cast("bigint")
+        assert a.var is not None
+        if a.var not in bound.columns:
+            # statically-unbound var: COUNT = 0, others = NULL (a
+            # SPARQL evaluation error aggregates to the empty value)
+            v = F.lit(None).cast("string")
+        else:
+            v = F.col(a.var)
+        if a.fn == "count":
+            if a.distinct:
+                sh = _dt_shadow(a.var) if a.var in bound.columns else None
+                term = (
+                    F.struct(v, F.col(sh)) if sh and sh in bound.columns
+                    else F.struct(v)
+                )
+                # when() gates unbound rows out: a struct with NULL
+                # fields is still a non-NULL struct and would count
+                return F.count_distinct(F.when(v.isNotNull(), term)).cast("bigint")
+            return F.count(v).cast("bigint")
+        if a.fn == "sum":
+            return F.coalesce(F.sum(v.try_cast("double")), F.lit(0.0))
+        if a.fn == "min":
+            return F.min(v)
+        if a.fn == "max":
+            return F.max(v)
+        raise ValueError(f"unsupported aggregate {a.fn!r}")
+
+    exprs = [agg_col(a).alias(a.alias) for a in q.aggs]
+    if exprs:
+        grouped = bound.groupBy(*keys).agg(*exprs) if keys else bound.agg(*exprs)
+    else:  # GROUP BY with no aggregates: one row per group
+        grouped = bound.select(*keys).distinct()
+    out_cols = [
+        name if kind == "var" else q.aggs[name].alias
+        for kind, name in q.select_items
+    ]
+    if q.order:
+        missing = [v for v, _ in q.order if v not in grouped.columns]
+        if missing:
+            raise ValueError(f"ORDER BY on unavailable variable(s) {missing}")
+        grouped = grouped.orderBy(
+            *[F.col(v).desc() if d else F.col(v).asc() for v, d in q.order]
+        )
+    out = grouped.select(*out_cols)
+    if q.offset:
+        out = out.offset(q.offset)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
 # --------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------
@@ -1307,6 +1564,9 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     """
     q = parse(query)
     bound = _compile_group(triples, q.group)
+
+    if q.form == "select" and (q.aggs or q.group_by is not None):
+        return _select_aggregate(q, bound)
 
     if q.form == "select":
         out_vars = q.select_vars

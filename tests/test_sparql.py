@@ -913,3 +913,78 @@ def test_minus_before_optional_sharing_var_rejected(spark):
     }"""
     with pytest.raises(ValueError, match="MINUS written before an OPTIONAL"):
         sparql(df, bad)
+
+
+# --------------------------------------------- round-5 VALUES / aggregates
+def test_values_restricts_and_is_term_based(spark):
+    rows = [
+        ("s1", "p", "5", ""),      # plain literal
+        ("s2", "p", "5", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("s3", "p", "5", None),    # IRI named 5
+    ]
+    df = _triples(spark, rows)
+    q = ('PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+         'SELECT ?s WHERE { ?s <p> ?x . VALUES ?x { "5"^^xsd:integer } }')
+    assert {r.s for r in sparql(df, q).collect()} == {"s2"}
+    q2 = 'SELECT ?s WHERE { ?s <p> ?x . VALUES ?x { "5" } }'
+    assert {r.s for r in sparql(df, q2).collect()} == {"s1"}
+    q3 = 'SELECT ?s WHERE { ?s <p> ?x . VALUES ?x { <5> } }'
+    assert {r.s for r in sparql(df, q3).collect()} == {"s3"}
+
+
+def test_values_multi_var_and_bag_semantics(spark):
+    rows = [
+        ("s1", "p", "a", None),
+        ("s1", "p", "b", None),
+        ("s2", "q", "c", None),
+    ]
+    df = _triples(spark, rows)
+    q = 'SELECT ?s ?o WHERE { ?s ?p ?o . VALUES (?s ?p) { (<s1> <p>) (<s2> <q>) } }'
+    assert sorted((r.s, r.o) for r in sparql(df, q).collect()) == [
+        ("s1", "a"), ("s1", "b"), ("s2", "c"),
+    ]
+    with pytest.raises(ValueError, match="UNDEF"):
+        sparql(df, 'SELECT ?s WHERE { ?s <p> ?x . VALUES ?x { UNDEF } }')
+    with pytest.raises(ValueError, match="width"):
+        sparql(df, 'SELECT ?s WHERE { ?s ?p ?o . VALUES (?s ?p) { (<s1>) } }')
+
+
+def test_aggregates_count_group_by(spark):
+    rows = [
+        ("p:1", "v", "3", ""), ("p:1", "v", "7", ""), ("p:2", "v", "3", ""),
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?s (COUNT(?x) AS ?n) WHERE { ?s <v> ?x } GROUP BY ?s"
+    assert sorted((r.s, r.n) for r in sparql(df, q).collect()) == [
+        ("p:1", 2), ("p:2", 1),
+    ]
+    # global group (no GROUP BY), SUM coercion, COUNT(*)
+    q2 = "SELECT (COUNT(*) AS ?n) (SUM(?x) AS ?t) WHERE { ?s <v> ?x }"
+    assert [(r.n, r.t) for r in sparql(df, q2).collect()] == [(3, 13.0)]
+
+
+def test_count_distinct_is_term_based_and_skips_unbound(spark):
+    rows = [
+        ("s1", "p", "5", ""),
+        ("s2", "p", "5", "http://www.w3.org/2001/XMLSchema#integer"),
+        ("s3", "q", "z", None),
+    ]
+    df = _triples(spark, rows)
+    # "5" plain and "5"^^int are two TERMS
+    q = "SELECT (COUNT(DISTINCT ?x) AS ?n) WHERE { ?s <p> ?x }"
+    assert [r.n for r in sparql(df, q).collect()] == [2]
+    # unbound (OPTIONAL-missed) rows don't count
+    q2 = ("SELECT (COUNT(?w) AS ?n) (COUNT(*) AS ?all) WHERE { "
+          "?s ?p ?x . OPTIONAL { ?s <q> ?w } }")
+    row = sparql(df, q2).collect()[0]
+    assert (row.n, row.all) == (1, 3)
+
+
+def test_aggregate_projection_rules(spark):
+    df = _triples(spark, [("s", "p", "o", None)])
+    with pytest.raises(ValueError, match="non-grouped"):
+        sparql(df, "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o }")
+    with pytest.raises(ValueError, match="DISTINCT with aggregates"):
+        sparql(df, "SELECT DISTINCT (COUNT(?o) AS ?n) WHERE { ?s <p> ?o }")
+    with pytest.raises(ValueError, match="AS"):
+        sparql(df, "SELECT (COUNT(?o)) WHERE { ?s <p> ?o }")
