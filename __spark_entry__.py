@@ -473,17 +473,28 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_web_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship north-rule pipeline on the synthetic web corpus
-    (extract → mentions → link → CC → canonical triples; rows-only —
-    P/R gates live in tests/test_web_pipeline.py). Runs with the SCALE
-    profile — every guard armed, the posture a crawl-scale run uses
-    (P/R is re-gated under the same profile in the pytest suite)."""
+    (extract → mentions → link → CC → canonical triples). FULLY
+    HASH-ORACLED since round 5: both engines read the same parquet
+    fixture (kgforge.web.corpus.contract_corpus_parquet); the DuckDB
+    side re-derives every stage in SQL — mention regexes, v5-sanitized
+    IRIs, the exact case-fold tier, brute-force threshold scoring over
+    the case-fold representatives (equals the LSH tier's output
+    because blocking only FILTERS candidates and has full recall at
+    the 0.78 threshold on this corpus — the hash gate would catch any
+    recall loss), WITH-RECURSIVE min-label connected components, and
+    the canonical rewrite. The html→text extraction rides through the
+    gate too: the oracle starts from the fixture's `text` column,
+    byte-identical to extract_text(html) by the pipeline invariant
+    (also gated directly in tests/test_web_pipeline.py). Runs with the
+    SCALE profile — every guard armed, the posture a crawl-scale run
+    uses."""
     from kgforge.profile import SCALE
-    from kgforge.web.corpus import make_corpus, pages_dataframe
+    from kgforge.web.corpus import contract_corpus_parquet
     from kgforge.web.pipeline import run_pipeline, unpersist_intermediates
 
-    corpus = make_corpus(n_pages=300, seed=42)
+    pages = spark.read.parquet(contract_corpus_parquet()).repartition(8)
     out = run_pipeline(
-        pages_dataframe(spark, corpus),
+        pages,
         text_from_html=True,
         persist_intermediate=True,
         profile=SCALE,
@@ -1316,6 +1327,101 @@ FROM m
 """
 
 
+def _web_kg_pipeline_sql() -> str:
+    """DuckDB oracle for the flagship pipeline (round-4 verdict item
+    1). Writes the shared corpus fixture (pure pyarrow — no Spark) and
+    re-derives every pipeline stage in SQL over it; see
+    q_web_kg_pipeline's docstring for the stage-by-stage equivalence
+    argument. Mirrors kgforge/web/mentions.py (relation regexes),
+    kgforge/web/linking.py (exact tier + set-cosine/Levenshtein
+    scoring at threshold 0.78), kgforge/web/canon.py (min-IRI CC)."""
+    from kgforge.web.corpus import DOMAIN as WEB_D
+    from kgforge.web.corpus import RELATIONS, contract_corpus_parquet
+
+    path = contract_corpus_parquet()
+    und = "_" * 22  # v5 sanitize charset width (mapping/spec.py)
+
+    def iri(col: str) -> str:
+        return (
+            f"'{WEB_D}m_' || translate({col}, "
+            f"' -/\\(),\"''<>|{{}}^#$*.`+=%', '{und}')"
+        )
+
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT regexp_extract(line, '^(.+?) {phrase} (.+?)\\.$', 1) AS s_surf,
+        '{rel}' AS rel,
+        regexp_extract(line, '^(.+?) {phrase} (.+?)\\.$', 2) AS o_surf FROM lines"""
+        for rel, phrase in RELATIONS.items()
+    )
+    return f"""
+WITH RECURSIVE
+lines AS (
+  SELECT url, unnest(string_split(text, chr(10))) AS line
+  FROM read_parquet('{path}')
+),
+men AS (
+  SELECT s_surf, rel, o_surf FROM ({arms})
+  WHERE s_surf <> '' AND o_surf <> ''
+),
+mt AS (
+  SELECT DISTINCT * FROM (
+    SELECT {iri('s_surf')} AS subj, '{WEB_D}' || rel AS pred,
+           {iri('o_surf')} AS obj, CAST(NULL AS VARCHAR) AS obj_dt FROM men
+    UNION ALL
+    SELECT {iri('s_surf')}, '{RDFS_LABEL}', s_surf, '' FROM men
+    UNION ALL
+    SELECT {iri('o_surf')}, '{RDFS_LABEL}', o_surf, '' FROM men
+  )
+),
+surf AS (SELECT DISTINCT obj AS surface FROM mt WHERE obj_dt = ''),
+norm AS (SELECT surface, lower(surface) AS n FROM surf),
+rep AS (SELECT n, MIN(surface) AS rep FROM norm GROUP BY n),
+exact_edges AS (
+  SELECT s.surface AS a, r.rep AS b FROM norm s JOIN rep r USING (n)
+  WHERE s.surface <> r.rep
+),
+grams AS (
+  SELECT rep AS s,
+         list_distinct(list_transform(
+           range(1, greatest(length(rep) - 2, 1) + 1),
+           i -> substr(lower(rep), i, 3))) AS g
+  FROM (SELECT DISTINCT rep FROM rep)
+),
+fuzzy AS (
+  -- brute-force threshold pairs over the case-fold representatives ==
+  -- the LSH tier's output (blocking only filters; full recall at 0.78
+  -- on this corpus — a recall miss would fail the hash gate)
+  SELECT a.s AS a, b.s AS b
+  FROM grams a JOIN grams b ON a.s < b.s
+  WHERE greatest(
+      len(list_intersect(a.g, b.g)) / sqrt(len(a.g) * CAST(len(b.g) AS DOUBLE)),
+      1.0 - levenshtein(lower(a.s), lower(b.s))
+            / CAST(greatest(length(a.s), length(b.s)) AS DOUBLE)
+  ) >= 0.78
+),
+edges AS (
+  SELECT {iri('a')} AS src, {iri('b')} AS dst FROM exact_edges
+  UNION
+  SELECT {iri('a')}, {iri('b')} FROM fuzzy
+),
+bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT {iri('surface')} AS node FROM surf),
+reach(node, m) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT b.dst, reach.m FROM reach JOIN bidir b ON b.src = reach.node
+),
+canon AS (SELECT node, MIN(m) AS c FROM reach GROUP BY node)
+SELECT DISTINCT
+  cs.c AS subj, mt.pred,
+  CASE WHEN mt.obj_dt IS NULL THEN co.c ELSE mt.obj END AS obj,
+  mt.obj_dt
+FROM mt
+JOIN canon cs ON cs.node = mt.subj
+LEFT JOIN canon co ON mt.obj_dt IS NULL AND co.node = mt.obj
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     melt = _MELT_PART_SQL.format(unions="".join(_melt_union(c) for c in PART_COLS))
     return {
@@ -1688,6 +1794,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS a, dst AS b FROM closure
         """,
+        "web_kg_pipeline": _web_kg_pipeline_sql(),
         "kg_sparql_exists": f"""
             WITH v2 AS (
               SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,

@@ -387,3 +387,36 @@ def pages_dataframe(spark, corpus: Corpus, num_partitions: int = 8):
         ]
     )
     return local_df(spark, corpus.pages, schema).repartition(num_partitions)
+
+
+def contract_corpus_parquet(n_pages: int = 300, seed: int = 42) -> str:
+    """The contract-gate corpus as ONE deterministic parquet file,
+    written atomically and idempotently (content is a pure function of
+    the arguments — seed-derived, no wall clock). Both sides of the
+    correctness gate consume THIS file: the Spark contract query reads
+    it with spark.read.parquet, and the DuckDB oracle reads it with
+    read_parquet, so the two engines start from byte-identical input
+    without the oracle having to re-derive the generator."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/kgforge_contract_corpus_{n_pages}_{seed}.parquet"
+    if os.path.exists(path):
+        return path
+    corpus = make_corpus(n_pages=n_pages, seed=seed)
+    urls, tss, htmls, texts, langs = zip(*corpus.pages)
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
