@@ -171,3 +171,40 @@ def test_rdfs_subproperty_of_rdf_type_feeds_cax_sco(spark):
     out = {tuple(r) for r in rdfs_closure(df).collect()}
     assert ("e:tom", RDF_TYPE, "c:Cat", None) in out       # prp-spo1
     assert ("e:tom", RDF_TYPE, "c:Animal", None) in out    # + cax-sco
+
+
+def test_transitive_closure_distributed_stratified(spark):
+    """The round-5 canonical-doubling fallback (max_driver_edges=0):
+    chains, cycles and self-loops close identically to the driver DFS
+    in both semantics."""
+    from kgforge.rdfs import closure_pairs, transitive_closure
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),        # chain
+        ("p", "q"), ("q", "p"),                    # 2-cycle
+        ("s", "s"),                                # self-loop
+        ("x", "y"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for reflexive in (False, True):
+        want = set(closure_pairs(edges, reflexive))
+        got = {
+            (r.src, r.dst)
+            for r in transitive_closure(
+                df, max_driver_edges=0, reflexive_on_cycle=reflexive
+            ).collect()
+        }
+        assert got == want, (reflexive, sorted(got ^ want))
+
+
+def test_transitive_closure_distributed_deep_chain(spark):
+    """Depth beyond one doubling round (log2 depth rounds) on the
+    distributed path."""
+    from kgforge.rdfs import transitive_closure
+
+    n = 40
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(n)], "src string, dst string"
+    )
+    got = transitive_closure(df, max_driver_edges=0).count()
+    assert got == (n + 1) * n // 2
