@@ -726,6 +726,8 @@ class _Parser:
             vars_.append(self.next()[1])
         if not vars_:
             raise ValueError("VALUES needs at least one ?variable")
+        if len(set(vars_)) != len(vars_):
+            raise ValueError(f"duplicate variable in VALUES ({vars_})")
         self.expect("op", ")")
         self.expect("op", "{")
         rows = []

@@ -947,6 +947,8 @@ def test_values_multi_var_and_bag_semantics(spark):
         sparql(df, 'SELECT ?s WHERE { ?s <p> ?x . VALUES ?x { UNDEF } }')
     with pytest.raises(ValueError, match="width"):
         sparql(df, 'SELECT ?s WHERE { ?s ?p ?o . VALUES (?s ?p) { (<s1>) } }')
+    with pytest.raises(ValueError, match="duplicate"):
+        sparql(df, 'SELECT ?s WHERE { ?s ?p ?o . VALUES (?s ?s) { (<a> <b>) } }')
 
 
 def test_aggregates_count_group_by(spark):
