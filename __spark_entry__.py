@@ -917,6 +917,27 @@ def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL HAVING (round-5): parts carrying THREE versioned
+    statements — the even-key parts, whose superseded v01 brand link
+    still counts — filtered post-aggregation."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    prefix ns1: <{DOMAIN}>
+    SELECT ?x (COUNT(?z) AS ?n)
+    WHERE {{
+        ?x ?p ?z .
+        ?p rdfs:subPropertyOf ns1:applicable_to .
+    }}
+    GROUP BY ?x
+    HAVING(?n >= 3)
+    """
+    return sparql(triples, q)
+
+
 def q_kg_sparql_vernum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL numeric promotion (round-4): FILTER over integer-typed
     literals compares NUMERICALLY — versions 10..12 beat "9" even
@@ -982,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_vernum": q_kg_sparql_vernum,
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_agg_having": q_kg_sparql_agg_having,
     }
 
 
@@ -1775,6 +1797,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT x, CAST(COUNT(z) AS BIGINT) AS n
             FROM links GROUP BY x
+        """,
+        "kg_sparql_agg_having": f"""
+            WITH links AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}BR_' || translate(p_brand, '# ', '__')
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT x, CAST(COUNT(z) AS BIGINT) AS n
+            FROM links GROUP BY x
+            HAVING COUNT(z) >= 3
         """,
         "kg_sparql_vernum": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,

@@ -10,7 +10,7 @@ straight to Catalyst plans:
 
   grammar   PREFIX pfx: <iri>
             SELECT [DISTINCT] (?v | (FN([DISTINCT] ?v|*) AS ?alias)
-            ... | *) WHERE { group } [GROUP BY ?v ...]
+            ... | *) WHERE { group } [GROUP BY ?v ...] [HAVING(expr)]
               — FN ∈ COUNT|SUM|MIN|MAX; grouping is term-based
               (datatype shadows join the keys); projected plain vars
               must be grouped; COUNT skips unbound; SUM try_casts
@@ -246,6 +246,7 @@ class Query:
     select_items: list[tuple[str, object]] | None = None
     aggs: list[Agg] = field(default_factory=list)
     group_by: list[str] | None = None
+    having: "Expr | None" = None
 
 
 # filter expression AST
@@ -301,7 +302,7 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "prefix", "select", "construct", "insert", "where", "distinct",
     "minus", "filter", "optional", "union", "a", "values", "group",
-    "order", "by", "asc", "desc", "limit", "offset",
+    "having", "order", "by", "asc", "desc", "limit", "offset",
 }
 
 
@@ -441,6 +442,14 @@ class _Parser:
                 gb.append(self.next()[1])
             if not gb:
                 raise ValueError("GROUP BY needs at least one ?variable")
+        having = None
+        if self.at("kw", "having"):
+            if not aggs and gb is None:
+                raise ValueError("HAVING requires aggregates or GROUP BY")
+            self.next()
+            self.expect("op", "(")
+            having = self._expr()
+            self.expect("op", ")")
         if aggs or gb is not None:
             if sel is None:
                 raise ValueError("SELECT * cannot combine with aggregates/GROUP BY")
@@ -448,7 +457,7 @@ class _Parser:
                 raise ValueError("SELECT DISTINCT with aggregates is out of subset")
             q = Query(
                 "select", group, select_vars=sel, select_items=items,
-                aggs=aggs, group_by=gb,
+                aggs=aggs, group_by=gb, having=having,
             )
         else:
             q = Query("select", group, select_vars=sel, distinct=distinct)
@@ -1532,6 +1541,12 @@ def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
         grouped = bound.groupBy(*keys).agg(*exprs) if keys else bound.agg(*exprs)
     else:  # GROUP BY with no aggregates: one row per group
         grouped = bound.select(*keys).distinct()
+    if q.having is not None:
+        # HAVING filters the grouped solutions; operands are grouped
+        # vars and aggregate aliases (numeric columns compare
+        # numerically — a bare-number comparand forces the numeric
+        # reading in _compile_expr)
+        grouped = grouped.filter(_compile_expr(q.having, set(grouped.columns)))
     out_cols = [
         name if kind == "var" else q.aggs[name].alias
         for kind, name in q.select_items

@@ -990,3 +990,16 @@ def test_aggregate_projection_rules(spark):
         sparql(df, "SELECT DISTINCT (COUNT(?o) AS ?n) WHERE { ?s <p> ?o }")
     with pytest.raises(ValueError, match="AS"):
         sparql(df, "SELECT (COUNT(?o)) WHERE { ?s <p> ?o }")
+
+
+def test_having_filters_groups(spark):
+    rows = [
+        ("p:1", "v", "3", ""), ("p:1", "v", "7", ""), ("p:1", "v", "9", ""),
+        ("p:2", "v", "3", ""),
+    ]
+    df = _triples(spark, rows)
+    q = ("SELECT ?s (COUNT(?x) AS ?n) WHERE { ?s <v> ?x } "
+         "GROUP BY ?s HAVING(?n >= 2)")
+    assert [(r.s, r.n) for r in sparql(df, q).collect()] == [("p:1", 3)]
+    with pytest.raises(ValueError, match="HAVING requires"):
+        sparql(df, "SELECT ?s WHERE { ?s <v> ?x } HAVING(?s > 1)")
