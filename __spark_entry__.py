@@ -938,6 +938,22 @@ def q_kg_sparql_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (round-5): boolean existence probe over the vernum
+    table — true iff some part carries a version over 11 (numeric
+    comparison on the typed literal); compiles to a limit(1) probe,
+    never materializing the solution set."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_vernum_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    prefix xsd: <http://www.w3.org/2001/XMLSchema#>
+    ASK WHERE {{ ?s ns1:vernum ?v . FILTER(?v > "11"^^xsd:integer) }}
+    """
+    return sparql(triples, q)
+
+
 def q_kg_sparql_vernum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL numeric promotion (round-4): FILTER over integer-typed
     literals compares NUMERICALLY — versions 10..12 beat "9" even
@@ -1004,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_agg_having": q_kg_sparql_agg_having,
+        "kg_sparql_ask": q_kg_sparql_ask,
     }
 
 
@@ -1815,6 +1832,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT x, CAST(COUNT(z) AS BIGINT) AS n
             FROM links GROUP BY x
             HAVING COUNT(z) >= 3
+        """,
+        "kg_sparql_ask": """
+            SELECT EXISTS(
+              SELECT 1 FROM part WHERE p_partkey % 13 > 11
+            ) AS ask
         """,
         "kg_sparql_vernum": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,

@@ -17,6 +17,8 @@ straight to Catalyst plans:
               lexical forms to double; MIN/MAX compare lexical forms
             CONSTRUCT { template } WHERE { group }
             INSERT { template } WHERE { group }       (same as CONSTRUCT)
+            ASK [WHERE] { group }   -> one (ask: boolean) row; probes
+              with limit(1), never materializing the solution set
             group := triple patterns ('.'-separated, ';'/',' lists,
                      `a` == rdf:type; predicate position takes a
                      property path over constant predicates:
@@ -398,8 +400,13 @@ class _Parser:
             q = self._select()
         elif self.at("kw", "construct") or self.at("kw", "insert"):
             q = self._construct()
+        elif self.at("word") and self.peek()[1].lower() == "ask":
+            self.next()
+            if self.at("kw", "where"):
+                self.next()
+            q = Query("ask", self._group())
         else:
-            raise ValueError(f"expected SELECT/CONSTRUCT/INSERT, got {self.peek()}")
+            raise ValueError(f"expected SELECT/CONSTRUCT/INSERT/ASK, got {self.peek()}")
         if not self.at("eof"):
             # silently ignoring trailing tokens would e.g. drop a
             # misspelled modifier and dump the full result set
@@ -1581,6 +1588,15 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     """
     q = parse(query)
     bound = _compile_group(triples, q.group)
+
+    if q.form == "ask":
+        from kgforge.session import local_df
+
+        # one row, one boolean column; limit(1) keeps the probe from
+        # materializing the full solution set (same shape as the
+        # uncorrelated EXISTS probe)
+        probe = bound.limit(1).count() > 0
+        return local_df(triples.sparkSession, [(probe,)], "ask boolean")
 
     if q.form == "select" and (q.aggs or q.group_by is not None):
         return _select_aggregate(q, bound)

@@ -1003,3 +1003,16 @@ def test_having_filters_groups(spark):
     assert [(r.s, r.n) for r in sparql(df, q).collect()] == [("p:1", 3)]
     with pytest.raises(ValueError, match="HAVING requires"):
         sparql(df, "SELECT ?s WHERE { ?s <v> ?x } HAVING(?s > 1)")
+
+
+def test_ask_form(spark):
+    df = _triples(spark, VERSION_ROWS)
+    r = sparql(df, PREFIXES + "ASK WHERE { ?x a ns1:Variant }").collect()
+    assert [tuple(x) for x in r] == [(True,)]
+    r2 = sparql(df, PREFIXES + "ASK { ?x a ns1:Nonexistent }").collect()
+    assert [tuple(x) for x in r2] == [(False,)]
+    # ASK composes with the full group grammar (FILTER NOT EXISTS)
+    r3 = sparql(df, PREFIXES + """ASK {
+        ?x a ns1:Variant . FILTER NOT EXISTS { ?x a ns1:PNR }
+    }""").collect()
+    assert [tuple(x) for x in r3] == [(True,)]
