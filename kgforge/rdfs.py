@@ -151,7 +151,10 @@ def transitive_closure(
     for _ in range(max_iter):
         left = acc.filter(F.col("len") == pow2)
         if left.limit(1).count() == 0:
-            break  # no minlen-2^k pairs -> no longer paths exist
+            # no minlen-2^k pairs -> no longer paths exist at ANY
+            # later stratum (a pair with minlen in (2^k, 2^{k+1}]
+            # needs a prefix of minlen exactly 2^k — split argument)
+            break
         new = (
             left.alias("a")
             .join(
@@ -166,6 +169,11 @@ def transitive_closure(
         )
         if not reflexive_on_cycle:
             new = new.filter(F.col("src") != F.col("dst"))
+        # NOTE: eagerly localCheckpoint-ing `new` here (to probe
+        # emptiness before paying the min-merge) trips a Spark 4
+        # analyzer bug on the self-join plan ("key not found: src#N")
+        # when the session reuses the checkpointed lineage — the
+        # stratum probe above is the safe convergence test
         acc = (
             acc.unionByName(new)
             .groupBy("src", "dst")
