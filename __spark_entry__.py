@@ -777,6 +777,18 @@ def q_kg_sparql_path_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
 
 
+def q_kg_sparql_path_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `^` inverse path (round-5): superclass→subclass pairs of
+    the open chain via `^subClassOf+` — inverse composed with closure."""
+    from kgforge.sparql import sparql
+
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?a ?b WHERE { ?a (^rdfs:subClassOf)+ ?b }
+    """
+    return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
+
+
 def q_kg_sparql_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL `|` alternative path (round-5): links stated by either
     version, BAG semantics — pairs asserted under both predicates
@@ -1016,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_star": q_kg_sparql_path_star,
         "kg_sparql_path_seq": q_kg_sparql_path_seq,
         "kg_sparql_path_alt": q_kg_sparql_path_alt,
+        "kg_sparql_path_inv": q_kg_sparql_path_inv,
         "kg_sparql_vernum": q_kg_sparql_vernum,
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -1935,6 +1948,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.src AS a, r.dst AS b
             FROM edges l JOIN edges r ON l.dst = r.src
+        """,
+        "kg_sparql_path_inv": f"""
+            WITH RECURSIVE edges AS (
+              -- inverted chain: child <- parent
+              SELECT '{_D}C' || CAST(n_nationkey + 1 AS VARCHAR) AS src,
+                     '{_D}C' || CAST(n_nationkey AS VARCHAR) AS dst
+              FROM nation WHERE n_nationkey < 24
+            ),
+            closure(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+            )
+            SELECT src AS a, dst AS b FROM closure
         """,
         "kg_sparql_path_alt": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,

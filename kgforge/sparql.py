@@ -23,7 +23,10 @@ straight to Catalyst plans:
                      `a` == rdf:type; predicate position takes a
                      property path over constant predicates:
                      p := seq ('|' seq)*; seq := elt ('/' elt)*;
-                     elt := prim ('+'|'*')?; prim := iri | 'a' | '(p)'
+                     elt := '^' elt | prim ('+'|'*')?;
+                     prim := iri | 'a' | '(p)'
+                     — `^` inverts IRI-object steps (literal-object
+                     triples cannot invert in-subset);
                      — `+`/`*` are SET semantics incl. cycle-reflexive
                      pairs, '/' and '|' are BAG semantics per spec;
                      `*`'s zero-length identity ranges over the
@@ -184,6 +187,16 @@ class PathStar:
 
 
 @dataclass(frozen=True)
+class PathInv:
+    """`^elt` — inverse path: (s, ^p, o) ⇔ (o, p, s). Subset
+    restriction: only IRI-object steps invert (a literal-object triple
+    would put a literal in the pattern's subject position, which the
+    engine's IRI-only subject invariant excludes — documented, not
+    silent: those triples are filtered before the swap)."""
+    elt: "PathExpr"
+
+
+@dataclass(frozen=True)
 class PathSeq:
     """`e1/e2/...` — sequence paths; BAG semantics (the spec expands a
     sequence to a join over a fresh variable, multiplicities
@@ -198,8 +211,8 @@ class PathAlt:
     alts: tuple
 
 
-PathExpr = Iri | PathPlus | PathStar | PathSeq | PathAlt
-PATH_TYPES = (PathPlus, PathStar, PathSeq, PathAlt)
+PathExpr = Iri | PathPlus | PathStar | PathSeq | PathAlt | PathInv
+PATH_TYPES = (PathPlus, PathStar, PathSeq, PathAlt, PathInv)
 
 Term = Var | Iri | Lit
 
@@ -296,7 +309,7 @@ _TOKEN = re.compile(
       # PN_LOCAL may CONTAIN dots but not end with one — a trailing
       # '.' is the triple terminator (`... ns1:Variant. }`)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*+|/])
+    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*+|/^])
     """,
     re.VERBOSE,
 )
@@ -805,6 +818,9 @@ class _Parser:
         return elts[0] if len(elts) == 1 else PathSeq(tuple(elts))
 
     def _path_elt(self):
+        if self.at("op", "^"):  # PathEltOrInverse
+            self.next()
+            return PathInv(self._path_elt())
         prim = self._path_primary()
         if self.at("op", "+"):
             self.next()
@@ -937,7 +953,7 @@ def _path_preds(path) -> set[str]:
     """Constant predicate IRIs a path expression touches."""
     if isinstance(path, Iri):
         return {path.value}
-    if isinstance(path, (PathPlus, PathStar)):
+    if isinstance(path, (PathPlus, PathStar, PathInv)):
         return _path_preds(path.elt)
     if isinstance(path, PathSeq):
         return set().union(*(_path_preds(e) for e in path.elts))
@@ -1005,6 +1021,19 @@ def _path_df(triples: DataFrame, path) -> DataFrame:
             F.col("subj").alias("src"),
             F.col("obj").alias("dst"),
             F.col("obj_dt").alias("dst_dt"),
+        )
+    if isinstance(path, PathInv):
+        # only IRI-object steps invert (PathInv docstring): filter
+        # literal endings, then swap the pair; the new dst is the
+        # original SUBJECT — an IRI by RDF, so dst_dt is NULL
+        return (
+            _path_df(triples, path.elt)
+            .filter(F.col("dst_dt").isNull())
+            .select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.lit(None).cast("string").alias("dst_dt"),
+            )
         )
     if isinstance(path, PathAlt):
         parts = [_path_df(triples, a) for a in path.alts]

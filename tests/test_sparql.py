@@ -1016,3 +1016,22 @@ def test_ask_form(spark):
         ?x a ns1:Variant . FILTER NOT EXISTS { ?x a ns1:PNR }
     }""").collect()
     assert [tuple(x) for x in r3] == [(True,)]
+
+
+def test_path_inverse(spark):
+    """`^p` swaps subject and object; composes with seq/closure
+    (child/parent idioms); literal-object steps cannot invert."""
+    rows = [
+        ("c:A", "p", "c:B", None),
+        ("c:B", "p", "c:C", None),
+        ("c:X", "p", "lit", ""),
+    ]
+    df = _triples(spark, rows)
+    got = {(r.a, r.b) for r in sparql(df, "SELECT ?a ?b WHERE { ?a ^<p> ?b }").collect()}
+    assert got == {("c:B", "c:A"), ("c:C", "c:B")}  # lit edge cannot invert
+    # sibling idiom: ^p/p = nodes sharing a parent (incl. self)
+    sib = {(r.a, r.b) for r in sparql(df, "SELECT ?a ?b WHERE { ?a ^<p>/<p> ?b }").collect()}
+    assert sib == {("c:B", "c:B"), ("c:C", "c:C")}
+    # inverse closure == closure of inverse
+    inv_plus = {(r.a, r.b) for r in sparql(df, "SELECT ?a ?b WHERE { ?a (^<p>)+ ?b }").collect()}
+    assert inv_plus == {("c:B", "c:A"), ("c:C", "c:B"), ("c:C", "c:A")}
