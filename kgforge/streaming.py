@@ -65,13 +65,25 @@ def stream_mention_triples(
     checkpoint: str,
     available_now: bool = True,
     text_from_html: bool = True,
+    dedup_within: str | None = None,
 ):
     """web_pages parquet feed → mention-triple parquet, incrementally.
 
     Returns the started StreamingQuery; with available_now=True the
     caller `awaitTermination()`s and the query drains pending files
     then stops. Re-running with the same checkpoint processes ONLY
-    files that arrived since the last run (file-source resume)."""
+    files that arrived since the last run (file-source resume).
+
+    `dedup_within` (e.g. "1 hour"): BOUNDED-STATE streaming dedup —
+    watermark on warc_ts + dropDuplicatesWithinWatermark on the triple
+    key, so duplicate mentions of the same fact arriving within the
+    horizon collapse to one row and the dedup state is evicted once
+    the watermark passes (a plain streaming `distinct` would keep the
+    whole key set forever). This is a volume reducer, not the dedup
+    CONTRACT: which of the duplicate rows survives (its prov_url /
+    warc_ts) is arrival-order-dependent, and duplicates farther apart
+    than the horizon both land — `compact_mentions` still performs the
+    deterministic global min-prov dedup at compaction time, unchanged."""
     pages = spark.readStream.schema(WEB_PAGES_SCHEMA).parquet(pages_dir)
     if text_from_html:
         extracted = extract_text(pages, "html", "text_extracted").select(
@@ -80,6 +92,10 @@ def stream_mention_triples(
     else:
         extracted = pages.select("url", "warc_ts", "text", "lang")
     mentions = extract_mention_triples(extracted, text_col="text", dedup=False)
+    if dedup_within is not None:
+        mentions = mentions.withWatermark(
+            "warc_ts", dedup_within
+        ).dropDuplicatesWithinWatermark(["subj", "pred", "obj", "obj_dt"])
     writer = (
         mentions.writeStream.format("parquet")
         .option("path", out_path)

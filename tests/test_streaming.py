@@ -240,3 +240,49 @@ def test_compaction_crash_before_flip_keeps_old_snapshot(spark, tmp_path, monkey
     # torn-pointer hardening: an EMPTY pointer reads as None
     write_text(spark, root + "/_current", "")
     assert read_compacted(spark, root) is None
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dedup_within: duplicate mentions inside the horizon collapse in
+    the STREAM (bounded state); compaction semantics are unchanged —
+    the compacted table equals the batch-dedup truth either way."""
+    from kgforge.streaming import compact_mentions, read_compacted
+
+    src = str(tmp_path / "pages_feed")
+    raw = str(tmp_path / "raw_triples")
+    cp = str(tmp_path / "cp")
+    root = str(tmp_path / "table")
+
+    c = make_corpus(n_pages=40, seed=5)
+    _write_pages_batch(spark, c, src)
+    stream_mention_triples(
+        spark, src, raw, cp, text_from_html=False, dedup_within="1 hour"
+    ).awaitTermination(120)
+
+    raw_df = spark.read.parquet(raw)
+    occurrences = extract_mention_triples(
+        pages_dataframe(spark, c).select("url", "warc_ts", "text", "lang"),
+        text_col="text",
+        dedup=False,
+    )
+    n_raw, n_occ = raw_df.count(), occurrences.count()
+    n_distinct = occurrences.select("subj", "pred", "obj", "obj_dt").distinct().count()
+    # the stream emitted fewer rows than mention occurrences (dups
+    # within the horizon collapsed) but no fewer than the distinct set
+    assert n_distinct <= n_raw < n_occ, (n_distinct, n_raw, n_occ)
+
+    # compaction contract unchanged: still the batch-dedup triple SET
+    compact_mentions(spark, raw, root)
+    got = sorted(
+        (r.subj, r.pred, r.obj, r.obj_dt)
+        for r in read_compacted(spark, root)
+        .select("subj", "pred", "obj", "obj_dt")
+        .collect()
+    )
+    want = sorted(
+        (r.subj, r.pred, r.obj, r.obj_dt)
+        for r in occurrences.select("subj", "pred", "obj", "obj_dt")
+        .distinct()
+        .collect()
+    )
+    assert got == want
