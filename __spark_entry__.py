@@ -912,7 +912,7 @@ def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregates (round-5): the "which parts have N versioned
     statements" follow-up to the reference's version-resolution query
     — COUNT over the subPropertyOf-inferred link set, GROUP BY the
-    part, ORDER BY for a deterministic top slice."""
+    part (no solution modifiers; the harness sorts for comparison)."""
     from kgforge.sparql import sparql
 
     triples = _sparql_version_triples(spark, sf_dir)

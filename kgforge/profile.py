@@ -19,12 +19,15 @@ OVERRIDES its individual keyword arguments:
 
 Three presets:
 
-* `PARITY` — no guards; exactly the DuckDB-oracle semantics. The
-  default every operator keeps when called without a profile.
+* `PARITY` — no guards; exactly the DuckDB-oracle semantics. Opt-in
+  (`profile=PARITY` or explicit `max_bucket=None`) since round 5.
 * `SAFE` — only the guards that do NOT change result semantics:
   `max_bucket` with `oversize="join"` bounds per-task memory (no
   collect_list hub row can form) while producing the identical pair
-  set. Right for oracle-checked paths that still want OOM immunity.
+  set. Since round 5 this is the SIGNATURE DEFAULT of every guarded
+  bucket-pair operator — calling one with no arguments runs SAFE
+  (asserted by test_profile.test_safe_is_the_default_for_guarded_
+  operators).
 * `SCALE` — every guard on, including the semantics-changing ones
   (oversized buckets dropped as boilerplate, simhash-0 empty docs
   pre-dropped, corpus-relative shingle df cap, salted bucketed
@@ -68,7 +71,9 @@ class ScaleProfile:
             raise ValueError(f"unknown oversize policy {self.oversize!r}")
 
 
-#: oracle-parity defaults — no guards (what you get with no profile)
+#: oracle-parity semantics — no guards. NOT the implicit default since
+#: round 5: the guarded operators' signatures default to SAFE's values;
+#: pass profile=PARITY (or max_bucket=None) to run unguarded.
 PARITY = ScaleProfile()
 
 #: semantics-preserving guards only: bounded per-task memory with the

@@ -365,13 +365,17 @@ def _pattern_vars(pats: list[tuple]) -> set[str]:
 
 def _group_binds(g: Group) -> set[str]:
     """Every variable a group graph pattern may BIND (patterns, UNION
-    branches, nested OPTIONALs — not MINUS/FILTER, which never bind)."""
+    branches, nested OPTIONALs, VALUES blocks — not MINUS/FILTER,
+    which never bind; round-5 advice: a var bound only via VALUES used
+    to escape the pattern-after-OPTIONAL hazard guard)."""
     out = _pattern_vars(g.patterns)
     for alts in g.unions:
         for a in alts:
             out |= _group_binds(a)
     for o in g.optionals:
         out |= _group_binds(o)
+    for vars_, _rows in g.values:
+        out |= set(vars_)
     return out
 
 
@@ -646,15 +650,23 @@ class _Parser:
                     bound |= uvars
                 else:
                     # nested group graph pattern with no UNION == merge
+                    # (EVERY member list carries over — a dropped
+                    # inner.values/inner.exists would silently widen
+                    # the result instead of restricting it, round-5
+                    # advice)
                     _check(_group_binds(inner), "nested group")
                     g.patterns += inner.patterns
                     g.filters += inner.filters
                     g.minuses += inner.minuses
                     g.optionals += inner.optionals
                     g.unions += inner.unions
+                    g.values += inner.values
+                    g.exists += inner.exists
                     bound |= _pattern_vars(inner.patterns)
                     for alts2 in inner.unions:
                         bound |= set().union(*(_group_binds(a) for a in alts2))
+                    for vars2, _rows2 in inner.values:
+                        bound |= set(vars2)
                     for opt in inner.optionals:
                         hazard |= _group_binds(opt) - bound
             elif self.at("kw", "values"):

@@ -1035,3 +1035,40 @@ def test_path_inverse(spark):
     # inverse closure == closure of inverse
     inv_plus = {(r.a, r.b) for r in sparql(df, "SELECT ?a ?b WHERE { ?a (^<p>)+ ?b }").collect()}
     assert inv_plus == {("c:B", "c:A"), ("c:C", "c:B"), ("c:C", "c:A")}
+
+
+def test_nested_group_merge_keeps_values_and_exists(spark):
+    """Round-5 advice (high): the no-UNION nested-group merge used to
+    drop inner VALUES and FILTER [NOT] EXISTS members, silently
+    WIDENING the result instead of restricting it."""
+    rows = [
+        ("s1", "p", "1", ""),
+        ("s2", "p", "2", ""),
+        ("s2", "q", "x", None),
+    ]
+    df = _triples(spark, rows)
+    # inner VALUES must restrict ?v to "1"
+    q = 'SELECT ?s WHERE { { ?s <p> ?v . VALUES ?v { "1" } } }'
+    assert {r.s for r in sparql(df, q).collect()} == {"s1"}
+    # inner FILTER EXISTS must restrict to subjects with a <q> triple
+    q2 = "SELECT ?s WHERE { { ?s <p> ?v . FILTER EXISTS { ?s <q> ?w } } }"
+    assert {r.s for r in sparql(df, q2).collect()} == {"s2"}
+    # inner FILTER NOT EXISTS: the complement
+    q3 = "SELECT ?s WHERE { { ?s <p> ?v . FILTER NOT EXISTS { ?s <q> ?w } } }"
+    assert {r.s for r in sparql(df, q3).collect()} == {"s1"}
+
+
+def test_values_vars_participate_in_optional_hazard_guard(spark):
+    """Round-5 advice (medium): a variable bound ONLY via VALUES inside
+    an OPTIONAL is optionally bound — a later pattern touching it must
+    be rejected like any other pattern-after-OPTIONAL hazard."""
+    df = _triples(spark, [("s1", "p", "1", "")])
+    q = ('SELECT ?s WHERE { ?s <p> ?x . '
+         'OPTIONAL { VALUES ?v { "1" } } ?t <q> ?v }')
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        sparql(df, q)
+    # and a VALUES block after an OPTIONAL sharing its var is rejected
+    q2 = ('SELECT ?s WHERE { ?s <p> ?x . '
+          'OPTIONAL { ?s <q> ?v } VALUES ?v { "1" } }')
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        sparql(df, q2)
