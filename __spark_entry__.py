@@ -985,6 +985,97 @@ def q_kg_sparql_vernum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND (round-6): numeric promotion over the integer-typed
+    vernum literals — ?v + 1 stays xsd:integer (try_add path), so the
+    lexical forms are clean integers; compiled to a withColumn over
+    the bound solution set (kgforge.sparql._apply_valexpr)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_vernum_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    SELECT ?s ?w
+    WHERE {{
+        ?s ns1:vernum ?v .
+        BIND(?v + 1 AS ?w)
+    }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_select_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT expressions (round-6): `(CONCAT(...) AS ?alias)`
+    projection items — spec-equivalent to a BIND appended after the
+    group; projection order preserved."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_vernum_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    SELECT (CONCAT("v", STR(?v)) AS ?tag) ?s
+    WHERE {{ ?s ns1:vernum ?v }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL AVG + SAMPLE aggregates (round-6): ungrouped single-row
+    aggregation over the vernum literals — AVG try_casts the lexical
+    forms to double (SUM's coercion rule); SAMPLE is the engine's
+    deterministic minimum."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_vernum_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    SELECT (AVG(?v) AS ?a) (SAMPLE(?v) AS ?m)
+    WHERE {{ ?s ns1:vernum ?v }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT (round-6): per-part concatenation of every
+    versioned link object, members sorted ascending (the engine's
+    deterministic canonicalization; the oracle is string_agg ... ORDER
+    BY)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    prefix ns1: <{DOMAIN}>
+    SELECT ?x (GROUP_CONCAT(?z; SEPARATOR=" ") AS ?zs)
+    WHERE {{
+        ?x ?p ?z .
+        ?p rdfs:subPropertyOf ns1:applicable_to .
+    }}
+    GROUP BY ?x
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_path_const(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `+` path with CONSTANT endpoints (round-6): both
+    directions over the 25-node chain — ancestors of C5 (constant
+    subject, forward seeded BFS) UNIONed with descendants of C5
+    (constant object, inverse seeded BFS). Exercises the
+    constant-endpoint pushdown (kgforge.sparql._seeded_path_df):
+    seed-constrained reachability instead of full-closure-then-filter."""
+    from kgforge.sparql import sparql
+
+    q = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?n WHERE {{
+        {{ <{DOMAIN}C5> rdfs:subClassOf+ ?n }}
+        UNION
+        {{ ?n rdfs:subClassOf+ <{DOMAIN}C5> }}
+    }}
+    """
+    return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_melt_part": q_kg_melt_part,
@@ -1029,6 +1120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_seq": q_kg_sparql_path_seq,
         "kg_sparql_path_alt": q_kg_sparql_path_alt,
         "kg_sparql_path_inv": q_kg_sparql_path_inv,
+        "kg_sparql_path_const": q_kg_sparql_path_const,
+        "kg_sparql_bind": q_kg_sparql_bind,
+        "kg_sparql_select_expr": q_kg_sparql_select_expr,
+        "kg_sparql_agg_avg": q_kg_sparql_agg_avg,
+        "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_vernum": q_kg_sparql_vernum,
         "kg_sparql_values": q_kg_sparql_values,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -1856,6 +1952,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p_partkey % 13 AS VARCHAR) AS v
             FROM part WHERE p_partkey % 13 > 9
         """,
+        "kg_sparql_bind": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
+                   CAST(p_partkey % 13 + 1 AS VARCHAR) AS w
+            FROM part
+        """,
+        "kg_sparql_select_expr": f"""
+            SELECT 'v' || CAST(p_partkey % 13 AS VARCHAR) AS tag,
+                   '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s
+            FROM part
+        """,
+        "kg_sparql_agg_avg": """
+            SELECT AVG(CAST(p_partkey % 13 AS DOUBLE)) AS a,
+                   MIN(CAST(p_partkey % 13 AS VARCHAR)) AS m
+            FROM part
+        """,
+        "kg_sparql_group_concat": f"""
+            WITH links AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}BR_' || translate(p_brand, '# ', '__')
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT x, string_agg(z, ' ' ORDER BY z) AS zs
+            FROM links GROUP BY x
+        """,
         "kg_sparql_path": f"""
             WITH RECURSIVE edges AS (
               SELECT '{_D}C' || CAST(n_nationkey AS VARCHAR) AS src,
@@ -1962,6 +2090,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
             )
             SELECT src AS a, dst AS b FROM closure
+        """,
+        "kg_sparql_path_const": f"""
+            WITH RECURSIVE edges AS (
+              SELECT '{_D}C' || CAST(n_nationkey AS VARCHAR) AS src,
+                     '{_D}C' || CAST(n_nationkey + 1 AS VARCHAR) AS dst
+              FROM nation WHERE n_nationkey < 24
+            ),
+            closure(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+            )
+            SELECT dst AS n FROM closure WHERE src = '{_D}C5'
+            UNION ALL
+            SELECT src AS n FROM closure WHERE dst = '{_D}C5'
         """,
         "kg_sparql_path_alt": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,

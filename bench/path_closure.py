@@ -22,6 +22,12 @@ runnable fixture; depth and width are separated instead):
   forced onto the distributed doubling path (max_driver_edges=0):
   evidences the O(log d) round count (11 rounds) on a
   diameter-dominated graph.
+* chains_1m_seed / chains_1m_seed_obj / wide_fan_seed (round 6) — the
+  SAME parquet with a CONSTANT endpoint (`<seed> p+ ?b` / `?a p+
+  <seed>`): the seeded-BFS pushdown must answer from the reachable
+  region (≤50 pairs of one chain / 1,000 children of one fan root)
+  without materializing the 25.5M-pair closure — wall seconds and the
+  heavy-stage record counts are the evidence.
 
     python bench/path_closure.py --cores 32 --workdir /tmp/kgforge_pathbench
 """
@@ -95,7 +101,7 @@ spark = get_spark(app_name="pathbench-{name}", master="local[{cores}]",
                               "spark.eventLog.enabled": "true",
                               "spark.eventLog.compress": "false",
                               "spark.eventLog.dir": {elog!r}}})
-triples = spark.read.parquet({work!r} + "/{name}")
+triples = spark.read.parquet({work!r} + "/{data}")
 t0 = time.perf_counter()
 {body}
 print("LEG_SEC", round(time.perf_counter() - t0, 1), "PAIRS", n)
@@ -105,6 +111,19 @@ spark.stop()
 _SPARQL_BODY = """
 from kgforge.sparql import sparql
 n = sparql(triples, 'SELECT ?a ?b WHERE {{ ?a <{pred}>+ ?b }}').count()
+"""
+
+# round-6: constant-endpoint pushdown legs — the seeded BFS must touch
+# the reachable region (one chain / one fan root), not the 25.5M-pair
+# closure. seed on chain 17 (node id = chain*1024 + pos).
+_SEED_SUBJ_BODY = """
+from kgforge.sparql import sparql
+n = sparql(triples, 'SELECT ?b WHERE {{ <{seed}> <{pred}>+ ?b }}').count()
+"""
+
+_SEED_OBJ_BODY = """
+from kgforge.sparql import sparql
+n = sparql(triples, 'SELECT ?a WHERE {{ ?a <{pred}>+ <{seed}> }}').count()
 """
 
 _DEEP_BODY = """
@@ -158,16 +177,22 @@ def main() -> None:
 
     results = {}
     legs = [
-        ("chains_1m", _SPARQL_BODY.format(pred=PRED)),
-        ("wide_fan", _SPARQL_BODY.format(pred=PRED)),
-        ("deep_2k", _DEEP_BODY),
+        ("chains_1m", "chains_1m", _SPARQL_BODY.format(pred=PRED)),
+        ("chains_1m_seed", "chains_1m",
+         _SEED_SUBJ_BODY.format(pred=PRED, seed="n17408")),
+        ("chains_1m_seed_obj", "chains_1m",
+         _SEED_OBJ_BODY.format(pred=PRED, seed=f"n{17 * 1024 + args.depth}")),
+        ("wide_fan", "wide_fan", _SPARQL_BODY.format(pred=PRED)),
+        ("wide_fan_seed", "wide_fan",
+         _SEED_SUBJ_BODY.format(pred=PRED, seed="r17")),
+        ("deep_2k", "deep_2k", _DEEP_BODY),
     ]
-    for name, body in legs:
+    for name, data, body in legs:
         elog = os.path.join(work, f"elog_{name}")
         shutil.rmtree(elog, ignore_errors=True)
         os.makedirs(elog)
         wall, stdout = _run(
-            _LEG.format(repo=REPO, name=name, cores=args.cores,
+            _LEG.format(repo=REPO, name=name, data=data, cores=args.cores,
                         work=work, elog=elog, body=body),
             name,
         )
@@ -182,7 +207,7 @@ def main() -> None:
             "heavy_stages": heavy,
         }
 
-    out_path = args.out or os.path.join(REPO, "BENCH", "path_closure_r5.json")
+    out_path = args.out or os.path.join(REPO, "BENCH", "path_closure_r6.json")
     with open(out_path, "w") as f:
         json.dump({"cores": args.cores, "legs": results}, f, indent=1, default=str)
     print("WROTE", out_path)

@@ -184,6 +184,80 @@ def transitive_closure(
     return acc.select("src", "dst")
 
 
+def seeded_reachable(
+    edges: DataFrame,
+    seeds: list[str],
+    max_iter: int = 128,
+    max_driver_edges: int = 200_000,
+    max_driver_nodes: int = 2_000_000,
+    isin_frontier: int = 1024,
+) -> DataFrame | None:
+    """Nodes reachable from `seeds` by >=1 step over (src, dst) edges
+    — the seed-constrained counterpart of `transitive_closure` for
+    constant-endpoint property paths (`:x p+ ?y`).
+
+    Returns a 1-column DataFrame `node`. A seed appears in the output
+    only when it is RE-reached (self-edge or cycle) — SPARQL
+    OneOrMorePath semantics for a constant endpoint. Returns None when
+    the reachable region outgrows `max_driver_nodes` or the BFS has
+    not drained within `max_iter` rounds — the caller falls back to
+    the full closure, so the pushdown never changes results, only
+    plans.
+
+    Scale shape: the frontier and reached sets live on the DRIVER
+    (seeded queries are asked precisely because the region is a
+    vanishing fraction of the graph), so each round is ONE narrow job:
+    the frontier is pushed into the edge scan — as an `isin` predicate
+    while small (it reaches the parquet scan as PushedFilters →
+    row-group pruning; the predicate's edge set is never materialized,
+    let alone shuffled), as a broadcast-join local relation beyond
+    `isin_frontier` — and only the adjacent dst values come back.
+    Dedup happens driver-side: no per-round distinct shuffle, no
+    checkpoint chain, no convergence-probe job. The full-closure route
+    this replaces materializes all-pairs reachability first and
+    filters after (round-5 verdict #1). Small-graph fast path: a
+    bounded limit-probe collects edge sets under `max_driver_edges`
+    whole and walks them with one DFS (grammar-sized hierarchies — one
+    job total, same pattern as transitive_closure).
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst")
+    probe = e.limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        adj: dict = {}
+        for r in probe:
+            adj.setdefault(r.src, set()).add(r.dst)
+        seen: set = set()
+        stack = [d for s in set(seeds) for d in adj.get(s, ())]
+        while stack:
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            stack.extend(adj.get(d, ()))
+        return local_df(spark, [(n,) for n in sorted(seen)], "node string")
+    frontier: list[str] = sorted(set(seeds))
+    reached: set[str] = set()
+    for _ in range(max_iter):
+        if len(frontier) <= isin_frontier:
+            adj_df = e.filter(F.col("src").isin(frontier)).select("dst")
+        else:
+            fdf = local_df(spark, [(n,) for n in frontier], "node string")
+            adj_df = e.join(
+                broadcast(fdf), F.col("src") == F.col("node")
+            ).select("dst")
+        new = {r.dst for r in adj_df.collect()} - reached
+        if not new:
+            return local_df(
+                spark, [(n,) for n in sorted(reached)], "node string"
+            )
+        reached |= new
+        if len(reached) > max_driver_nodes:
+            return None  # region too big for the driver — full closure
+        frontier = sorted(new)
+    return None  # did not drain — caller falls back to full closure
+
+
 def rdfs_closure(
     triples: DataFrame,
     include_input: bool = True,

@@ -10,11 +10,17 @@ straight to Catalyst plans:
 
   grammar   PREFIX pfx: <iri>
             SELECT [DISTINCT] (?v | (FN([DISTINCT] ?v|*) AS ?alias)
-            ... | *) WHERE { group } [GROUP BY ?v ...] [HAVING(expr)]
-              — FN ∈ COUNT|SUM|MIN|MAX; grouping is term-based
+            | (valexpr AS ?alias) ... | *) WHERE { group }
+            [GROUP BY ?v ...] [HAVING(expr)]
+              — FN ∈ COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT
+              (GROUP_CONCAT takes `; SEPARATOR="..."`; SAMPLE =
+              deterministic min; GROUP_CONCAT sorts members —
+              spec leaves both free); grouping is term-based
               (datatype shadows join the keys); projected plain vars
-              must be grouped; COUNT skips unbound; SUM try_casts
-              lexical forms to double; MIN/MAX compare lexical forms
+              must be grouped; COUNT skips unbound; SUM/AVG try_cast
+              lexical forms to double; MIN/MAX compare lexical forms;
+              (valexpr AS ?alias) items are non-aggregate SELECT
+              expressions (out of subset next to aggregates)
             CONSTRUCT { template } WHERE { group }
             INSERT { template } WHERE { group }       (same as CONSTRUCT)
             ASK [WHERE] { group }   -> one (ask: boolean) row; probes
@@ -41,6 +47,17 @@ straight to Catalyst plans:
                        datatype-reconciled, bag semantics; bare
                        numbers carry xsd:integer/xsd:decimal; UNDEF is
                        out of subset)
+                     | BIND(valexpr AS ?v)   (fresh target; operands
+                       must be bound by PRECEDING members — forward /
+                       optional-only references rejected; a later
+                       pattern may not join on a BIND target, but
+                       FILTER / OPTIONAL / MINUS / EXISTS may use it.
+                       valexpr := arithmetic + - * / over numeric
+                       terms (int×int stays xsd:integer via try_add
+                       family, otherwise xsd:double; plain literals
+                       with numeric lexical forms promote, matching
+                       the FILTER subset) | CONCAT | STR | STRLEN |
+                       UCASE | LCASE | ?var | term)
                      | { group } UNION { group } (UNION ...)*
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
                      BOUND(?v), REGEX(?v, "pat"[, "flags"]); operands
@@ -226,6 +243,7 @@ class Group:
     unions: list[list["Group"]] = field(default_factory=list)  # one entry per UNION chain
     exists: list[tuple[bool, "Group"]] = field(default_factory=list)  # (negated, group)
     values: list[tuple[list[str], list[list[Term]]]] = field(default_factory=list)
+    binds: list[tuple[str, object]] = field(default_factory=list)  # (var, ValExpr)
 
     def all_vars(self) -> list[str]:
         """Variables of this group's own patterns, first-seen order."""
@@ -239,11 +257,13 @@ class Group:
 
 @dataclass(frozen=True)
 class Agg:
-    """One aggregate projection: `(FN([DISTINCT] ?var|*) AS ?alias)`."""
-    fn: str  # count | sum | min | max
+    """One aggregate projection: `(FN([DISTINCT] ?var|*) AS ?alias)`;
+    GROUP_CONCAT additionally takes `; SEPARATOR="..."`."""
+    fn: str  # count | sum | min | max | avg | sample | group_concat
     var: str | None  # None -> COUNT(*)
     distinct: bool
     alias: str
+    sep: str = " "  # GROUP_CONCAT separator (spec default: single space)
 
 
 @dataclass
@@ -256,12 +276,15 @@ class Query:
     order: list[tuple[str, bool]] | None = None  # (var, descending)
     limit: int | None = None
     offset: int | None = None
-    #: projection order when aggregates are present: ("var", name) |
-    #: ("agg", index into aggs); None for plain (non-aggregate) SELECT
+    #: projection order when aggregates or SELECT expressions are
+    #: present: ("var", name) | ("agg", index into aggs) | ("expr",
+    #: index into exprs); None for plain variable-only SELECT
     select_items: list[tuple[str, object]] | None = None
     aggs: list[Agg] = field(default_factory=list)
     group_by: list[str] | None = None
     having: "Expr | None" = None
+    #: SELECT expression items `(valexpr AS ?alias)`: (alias, ValExpr)
+    exprs: list[tuple[str, object]] = field(default_factory=list)
 
 
 # filter expression AST
@@ -292,6 +315,35 @@ class Call:
 Expr = Cmp | BoolOp | Not | Call
 
 
+# value-expression AST (BIND / SELECT expressions)
+@dataclass(frozen=True)
+class Arith:
+    """Numeric arithmetic. Evaluation rule (subset): an operand is
+    numeric when its datatype is in the XSD numeric family, OR it is a
+    plain literal whose lexical form parses as a number (the
+    reference's untyped version literals — same promotion the FILTER
+    subset applies to bare-number comparisons). Integer×integer under
+    +,-,* stays xsd:integer (64-bit); anything else evaluates in
+    xsd:double (SPARQL's decimal results canonicalize to double — the
+    subset's one divergence, documented). A non-numeric operand is a
+    SPARQL type error: the bound value is unbound (NULL)."""
+    op: str  # + - * /
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class FnCall:
+    """String builtins of the subset: CONCAT (plain-literal result,
+    NULL-propagating like the spec's error rule), STR (lexical form of
+    any term, plain), STRLEN (xsd:integer), UCASE / LCASE (plain)."""
+    fn: str  # concat | str | strlen | ucase | lcase
+    args: tuple
+
+
+ValExpr = Arith | FnCall | Term
+
+
 # --------------------------------------------------------------------
 # tokenizer / parser
 # --------------------------------------------------------------------
@@ -317,8 +369,10 @@ _TOKEN = re.compile(
 _KEYWORDS = {
     "prefix", "select", "construct", "insert", "where", "distinct",
     "minus", "filter", "optional", "union", "a", "values", "group",
-    "having", "order", "by", "asc", "desc", "limit", "offset",
+    "having", "order", "by", "asc", "desc", "limit", "offset", "bind",
 }
+
+_AGG_FNS = ("count", "sum", "min", "max", "avg", "sample", "group_concat")
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -365,9 +419,10 @@ def _pattern_vars(pats: list[tuple]) -> set[str]:
 
 def _group_binds(g: Group) -> set[str]:
     """Every variable a group graph pattern may BIND (patterns, UNION
-    branches, nested OPTIONALs, VALUES blocks — not MINUS/FILTER,
-    which never bind; round-5 advice: a var bound only via VALUES used
-    to escape the pattern-after-OPTIONAL hazard guard)."""
+    branches, nested OPTIONALs, VALUES blocks, BIND targets — not
+    MINUS/FILTER, which never bind; round-5 advice: a var bound only
+    via VALUES used to escape the pattern-after-OPTIONAL hazard
+    guard)."""
     out = _pattern_vars(g.patterns)
     for alts in g.unions:
         for a in alts:
@@ -376,7 +431,19 @@ def _group_binds(g: Group) -> set[str]:
         out |= _group_binds(o)
     for vars_, _rows in g.values:
         out |= set(vars_)
+    out |= {v for v, _e in g.binds}
     return out
+
+
+def _valexpr_vars(e) -> set[str]:
+    """Variables a value expression reads."""
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, Arith):
+        return _valexpr_vars(e.left) | _valexpr_vars(e.right)
+    if isinstance(e, FnCall):
+        return set().union(*(_valexpr_vars(a) for a in e.args)) if e.args else set()
+    return set()
 
 
 class _Parser:
@@ -439,6 +506,7 @@ class _Parser:
         sel: list[str] | None
         items: list[tuple[str, object]] = []
         aggs: list[Agg] = []
+        exprs: list[tuple[str, object]] = []
         if self.at("op", "*"):
             self.next()
             sel = None
@@ -447,8 +515,26 @@ class _Parser:
                 if self.at("var"):
                     items.append(("var", self.next()[1]))
                 elif self.at("op", "("):
-                    aggs.append(self._agg_item())
-                    items.append(("agg", len(aggs) - 1))
+                    # `(FN(...) AS ?a)` aggregate vs `(valexpr AS ?a)`
+                    # expression: an aggregate head is FN followed by
+                    # an opening paren
+                    k2, v2 = (
+                        self.toks[self.i + 1]
+                        if self.i + 1 < len(self.toks) else ("eof", "")
+                    )
+                    k3, v3 = (
+                        self.toks[self.i + 2]
+                        if self.i + 2 < len(self.toks) else ("eof", "")
+                    )
+                    if (
+                        k2 == "word" and v2.lower() in _AGG_FNS
+                        and k3 == "op" and v3 == "("
+                    ):
+                        aggs.append(self._agg_item())
+                        items.append(("agg", len(aggs) - 1))
+                    else:
+                        exprs.append(self._expr_item())
+                        items.append(("expr", len(exprs) - 1))
                 else:
                     break
             if not items:
@@ -479,25 +565,59 @@ class _Parser:
                 raise ValueError("SELECT * cannot combine with aggregates/GROUP BY")
             if distinct:
                 raise ValueError("SELECT DISTINCT with aggregates is out of subset")
+            if exprs:
+                raise ValueError(
+                    "SELECT expressions next to aggregates/GROUP BY are "
+                    "out of subset (compute with BIND inside the group, "
+                    "or post-process the grouped result)"
+                )
             q = Query(
                 "select", group, select_vars=sel, select_items=items,
                 aggs=aggs, group_by=gb, having=having,
+            )
+        elif exprs:
+            seen_aliases = {a for a, _ in exprs}
+            dup = seen_aliases & set(sel or [])
+            if dup or len(seen_aliases) != len(exprs):
+                raise ValueError(
+                    "SELECT expression alias collides with a projected "
+                    f"variable or another alias ({sorted(dup) or 'dup alias'})"
+                )
+            q = Query(
+                "select", group, select_vars=sel, distinct=distinct,
+                select_items=items, exprs=exprs,
             )
         else:
             q = Query("select", group, select_vars=sel, distinct=distinct)
         self._modifiers(q)
         return q
 
+    def _expr_item(self) -> tuple[str, object]:
+        """`( valexpr AS ?alias )` — a SELECT expression item."""
+        self.expect("op", "(")
+        ex = self._val_expr()
+        if not (self.at("word") and self.peek()[1].lower() == "as"):
+            raise ValueError("SELECT expression needs AS ?alias")
+        self.next()
+        alias = self.expect("var")
+        self.expect("op", ")")
+        return (alias, ex)
+
     def _agg_item(self) -> Agg:
         """`( FN ( [DISTINCT] ?var | * ) AS ?alias )` — the aggregate
-        projection form. FN ∈ COUNT | SUM | MIN | MAX (SUM coerces
-        lexical forms with try_cast double — non-numeric terms become
-        NULL and are ignored, the subset's reading of the spec's
-        type-error rule)."""
+        projection form. FN ∈ COUNT | SUM | MIN | MAX | AVG | SAMPLE |
+        GROUP_CONCAT (SUM/AVG coerce lexical forms with try_cast
+        double — non-numeric terms become NULL and are ignored, the
+        subset's reading of the spec's type-error rule; SAMPLE picks
+        the MINIMUM lexical form — the spec allows any member, the
+        engine canonicalizes for determinism; GROUP_CONCAT sorts
+        members ascending before joining — the spec leaves order
+        undefined — and takes `; SEPARATOR="..."`, default one
+        space)."""
         self.expect("op", "(")
         k, v = self.next()
         fn = v.lower() if k == "word" else ""
-        if fn not in ("count", "sum", "min", "max"):
+        if fn not in _AGG_FNS:
             raise ValueError(f"unsupported aggregate {v!r}")
         self.expect("op", "(")
         distinct = False
@@ -511,13 +631,23 @@ class _Parser:
                 raise ValueError(f"{fn.upper()}(*) is not a thing; only COUNT(*)")
         else:
             var = self.expect("var")
+        sep = " "
+        if self.at("op", ";"):
+            if fn != "group_concat":
+                raise ValueError("only GROUP_CONCAT takes a SEPARATOR option")
+            self.next()
+            if not (self.at("word") and self.peek()[1].lower() == "separator"):
+                raise ValueError('expected SEPARATOR="..." after ;')
+            self.next()
+            self.expect("op", "=")
+            sep = self.expect("lit")
         self.expect("op", ")")
         if not (self.at("word") and self.peek()[1].lower() == "as"):
             raise ValueError("aggregate projection needs AS ?alias")
         self.next()
         alias = self.expect("var")
         self.expect("op", ")")
-        return Agg(fn, var, distinct, alias)
+        return Agg(fn, var, distinct, alias, sep)
 
     def _modifiers(self, q: Query) -> None:
         """ORDER BY (ASC(?v)|DESC(?v)|?v)+ / LIMIT n / OFFSET n."""
@@ -572,6 +702,7 @@ class _Parser:
         # matching the explicit-rejection policy used elsewhere.
         bound: set[str] = set()
         hazard: set[str] = set()
+        bind_targets: set[str] = set()
 
         def _check(new_vars: set[str], what: str) -> None:
             clash = new_vars & hazard
@@ -581,6 +712,18 @@ class _Parser:
                     f"optionally-bound variable(s) {sorted(clash)} — the "
                     "compiler would reorder it before the OPTIONAL "
                     "(different semantics); out of subset"
+                )
+            # BIND targets compile AFTER the group's joins: a pattern /
+            # UNION / VALUES member using one would be hoisted before
+            # the BIND (different semantics) — rejected, same policy
+            bclash = new_vars & bind_targets
+            if bclash:
+                raise ValueError(
+                    f"{what} uses BIND-assigned variable(s) "
+                    f"{sorted(bclash)} — the subset evaluates BIND after "
+                    "the group's patterns, so a pattern cannot join on a "
+                    "BIND target (use FILTER/OPTIONAL/MINUS, which "
+                    "evaluate after BIND); out of subset"
                 )
 
         while not self.at("op", "}"):
@@ -655,6 +798,12 @@ class _Parser:
                     # the result instead of restricting it, round-5
                     # advice)
                     _check(_group_binds(inner), "nested group")
+                    for tgt2, _ex2 in inner.binds:
+                        if tgt2 in bound or tgt2 in hazard:
+                            raise ValueError(
+                                f"BIND target ?{tgt2} of a nested group "
+                                "is already in scope (spec: must be fresh)"
+                            )
                     g.patterns += inner.patterns
                     g.filters += inner.filters
                     g.minuses += inner.minuses
@@ -662,11 +811,15 @@ class _Parser:
                     g.unions += inner.unions
                     g.values += inner.values
                     g.exists += inner.exists
+                    g.binds += inner.binds
                     bound |= _pattern_vars(inner.patterns)
                     for alts2 in inner.unions:
                         bound |= set().union(*(_group_binds(a) for a in alts2))
                     for vars2, _rows2 in inner.values:
                         bound |= set(vars2)
+                    for tgt2, _ex2 in inner.binds:
+                        bind_targets.add(tgt2)
+                        bound.add(tgt2)
                     for opt in inner.optionals:
                         hazard |= _group_binds(opt) - bound
             elif self.at("kw", "values"):
@@ -675,6 +828,36 @@ class _Parser:
                 _check(set(vars_), "VALUES block")
                 g.values.append((vars_, rows))
                 bound |= set(vars_)
+            elif self.at("kw", "bind"):
+                self.next()
+                self.expect("op", "(")
+                ex = self._val_expr()
+                if not (self.at("word") and self.peek()[1].lower() == "as"):
+                    raise ValueError("BIND needs AS ?var")
+                self.next()
+                tgt = self.expect("var")
+                self.expect("op", ")")
+                used = _valexpr_vars(ex)
+                fwd = used - bound
+                if fwd:
+                    # spec scoping: BIND sees only variables bound by
+                    # PRECEDING elements; a forward/optional-only/never
+                    # reference would silently evaluate differently
+                    # under the subset's patterns-first compile order
+                    raise ValueError(
+                        f"BIND reads variable(s) {sorted(fwd)} not bound "
+                        "before it (move the BIND after the pattern that "
+                        "binds them; optionally-bound or never-bound "
+                        "operands are out of subset)"
+                    )
+                if tgt in bound or tgt in hazard:
+                    raise ValueError(
+                        f"BIND target ?{tgt} is already in scope "
+                        "(spec: the target must be a fresh variable)"
+                    )
+                g.binds.append((tgt, ex))
+                bind_targets.add(tgt)
+                bound.add(tgt)
             elif self.at("op", "."):
                 self.next()
             elif self.at("kw", "union"):
@@ -808,6 +991,85 @@ class _Parser:
         if k == "word" and v.lower() == "undef":
             raise ValueError("UNDEF in VALUES is out of subset")
         raise ValueError(f"bad VALUES term {k}:{v!r}")
+
+    # -- value expressions (BIND / SELECT expressions) -----------------
+    #   valexpr := mul (('+'|'-') mul)*
+    #   mul     := prim (('*'|'/') prim)*
+    #   prim    := '(' valexpr ')' | FN '(' valexpr (',' valexpr)* ')'
+    #            | ?var | iri | pname | "lit"[^^dt] | number
+    #   FN ∈ CONCAT | STR | STRLEN | UCASE | LCASE
+    _VAL_FNS = {"concat": None, "str": 1, "strlen": 1, "ucase": 1, "lcase": 1}
+
+    def _val_expr(self):
+        e = self._val_mul()
+        while True:
+            if self.at("op", "+") or self.at("op", "-"):
+                op = self.next()[1]
+                e = Arith(op, e, self._val_mul())
+            elif self.at("num") and self.peek()[1][0] in "+-":
+                # `2+3` tokenizes as num(2) num(+3) — the sign glues to
+                # the number (SPARQL shares this lexical quirk); split
+                # it back into operator + operand, then let a `*`/`/`
+                # suffix bind tighter as usual
+                v = self.next()[1]
+                dt = "integer" if re.fullmatch(r"[+-]?\d+", v) else "decimal"
+                rhs = self._val_mul_tail(Lit(v[1:], _XSD_NS + dt))
+                e = Arith(v[0], e, rhs)
+            else:
+                return e
+
+    def _val_mul(self):
+        return self._val_mul_tail(self._val_prim())
+
+    def _val_mul_tail(self, e):
+        while self.at("op", "*") or self.at("op", "/"):
+            op = self.next()[1]
+            e = Arith(op, e, self._val_prim())
+        return e
+
+    def _val_prim(self):
+        if self.at("op", "("):
+            self.next()
+            e = self._val_expr()
+            self.expect("op", ")")
+            return e
+        k, v = self.peek()
+        if k == "word" and v.lower() in self._VAL_FNS:
+            self.next()
+            self.expect("op", "(")
+            args = [self._val_expr()]
+            while self.at("op", ","):
+                self.next()
+                args.append(self._val_expr())
+            self.expect("op", ")")
+            fn = v.lower()
+            arity = self._VAL_FNS[fn]
+            if arity is not None and len(args) != arity:
+                raise ValueError(f"{fn.upper()} takes {arity} argument(s)")
+            return FnCall(fn, tuple(args))
+        k, v = self.next()
+        if k == "var":
+            return Var(v)
+        if k == "iri":
+            return Iri(v)
+        if k == "pname":
+            return Iri(self._expand(v))
+        if k == "lit":
+            if self.at("op", "^^"):
+                self.next()
+                dk, dv = self.next()
+                if dk == "iri":
+                    return Lit(v, dv)
+                if dk == "pname":
+                    return Lit(v, self._expand(dv))
+                raise ValueError(f"bad datatype token {dk}:{dv!r}")
+            return Lit(v)
+        if k == "num":
+            # bare numbers carry xsd:integer / xsd:decimal (the spec's
+            # numeric-literal mapping, same as VALUES terms)
+            dt = "integer" if re.fullmatch(r"[+-]?\d+", v) else "decimal"
+            return Lit(v, _XSD_NS + dt)
+        raise ValueError(f"bad value-expression operand {k}:{v!r}")
 
     # -- property paths ------------------------------------------------
     # SPARQL Path grammar, the constant-predicate subset:
@@ -1079,6 +1341,91 @@ def _path_df(triples: DataFrame, path) -> DataFrame:
     raise ValueError(f"unknown path node {path!r}")
 
 
+def _seeded_path_df(
+    triples: DataFrame, p: PathPlus | PathStar, s: Term, o: Term
+) -> DataFrame | None:
+    """Constant-endpoint pushdown for top-level `+`/`*` paths (round-5
+    verdict #1): `:x p+ ?y` / `?x p+ :y` evaluate as seed-constrained
+    reachability — a frontier BFS over the step relation from the
+    constant side — instead of materializing the FULL predicate
+    closure and filtering it afterwards. Touched rows are proportional
+    to the reachable subgraph, the plan a seeded path query needs at
+    crawl scale (BENCH/path_closure seeded legs).
+
+    Applies when either endpoint is a constant IRI. Returns None (the
+    caller falls back to `_path_df`, the full closure — identical
+    results) when: neither endpoint is constant, the object constant
+    is a literal with a variable subject (a rare shape the BFS would
+    need a literal-aware reverse step for), or the distributed BFS did
+    not drain within its round budget (pathological depth). Literal-
+    object steps re-enter as FINAL steps only, same rule as _plus_df.
+    """
+    from kgforge.rdfs import seeded_reachable
+
+    s_const = s.value if isinstance(s, Iri) else None
+    o_const = o.value if isinstance(o, Iri) else None
+    if s_const is None and o_const is None:
+        return None
+    e = _path_df(triples, p.elt)
+    iri_e = e.filter(F.col("dst_dt").isNull()).select("src", "dst")
+    null_dt = F.lit(None).cast("string")
+    from kgforge.session import local_df
+
+    def _identity(node: str) -> DataFrame:
+        # `*`'s zero-length solution for a constant endpoint — present
+        # even when the node is absent from the graph (spec: a
+        # zero-length path matches the term itself)
+        return local_df(
+            triples.sparkSession,
+            [(node, node, None)],
+            "src string, dst string, dst_dt string",
+        )
+
+    if s_const is not None:
+        reached = seeded_reachable(iri_e, [s_const])
+        if reached is None:
+            return None
+        out = reached.select(
+            F.lit(s_const).alias("src"),
+            F.col("node").alias("dst"),
+            null_dt.alias("dst_dt"),
+        )
+        # literal endings: one lit step from the seed directly, or a
+        # lit step off any reached IRI node
+        lit_edges = e.filter(F.col("dst_dt").isNotNull())
+        lit_srcs = reached.select("node").unionByName(
+            local_df(triples.sparkSession, [(s_const,)], "node string")
+        )
+        lit_tails = (
+            lit_srcs.alias("_n")
+            .join(lit_edges.alias("_e"), F.col("_n.node") == F.col("_e.src"))
+            .select(
+                F.lit(s_const).alias("src"),
+                F.col("_e.dst").alias("dst"),
+                F.col("_e.dst_dt").alias("dst_dt"),
+            )
+        )
+        out = out.unionByName(lit_tails).distinct()
+        if isinstance(p, PathStar):
+            out = out.unionByName(_identity(s_const)).distinct()
+        return out
+    # object-constant IRI, variable subject: inverse BFS. A path to an
+    # IRI endpoint is IRI-steps throughout (a literal ends a path), so
+    # the reversed IRI step relation suffices.
+    rev = iri_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    reached = seeded_reachable(rev, [o_const])
+    if reached is None:
+        return None
+    out = reached.select(
+        F.col("node").alias("src"),
+        F.lit(o_const).alias("dst"),
+        null_dt.alias("dst_dt"),
+    )
+    if isinstance(p, PathStar):
+        out = out.unionByName(_identity(o_const)).distinct()
+    return out
+
+
 def _compile_path_pattern(
     triples: DataFrame,
     pat: tuple[Term, object, Term],
@@ -1095,18 +1442,24 @@ def _compile_path_pattern(
     of subset (the nested star's identity ranges over the graph node
     domain only)."""
     s, p, o = pat
-    df = _path_df(triples, p)
-    if isinstance(p, PathStar):
-        consts = sorted({t.value for t in (s, o) if isinstance(t, Iri)})
-        if consts:
-            from kgforge.session import local_df
+    df = None
+    if isinstance(p, (PathPlus, PathStar)):
+        # constant-endpoint pushdown (round-5 verdict #1): evaluate
+        # seed-first when a const IRI endpoint bounds the closure
+        df = _seeded_path_df(triples, p, s, o)
+    if df is None:
+        df = _path_df(triples, p)
+        if isinstance(p, PathStar):
+            consts = sorted({t.value for t in (s, o) if isinstance(t, Iri)})
+            if consts:
+                from kgforge.session import local_df
 
-            extra = local_df(
-                triples.sparkSession,
-                [(v, v, None) for v in consts],
-                "src string, dst string, dst_dt string",
-            )
-            df = df.unionByName(extra).distinct()
+                extra = local_df(
+                    triples.sparkSession,
+                    [(v, v, None) for v in consts],
+                    "src string, dst string, dst_dt string",
+                )
+                df = df.unionByName(extra).distinct()
     proj: dict[str, F.Column] = {}
 
     def bind(term: Term, col: str, is_obj: bool) -> None:
@@ -1323,7 +1676,7 @@ def _values_df(spark, vars_: list[str], rows: list[list]) -> DataFrame:
 
 
 def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
-    if not g.patterns and not g.unions and not g.values:
+    if not g.patterns and not g.unions and not g.values and not g.binds:
         raise ValueError("empty group graph pattern")
     iri_only = _iri_only_vars(g)
     acc: DataFrame | None = None
@@ -1337,6 +1690,21 @@ def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
         # inline data is row-count-tiny by construction — broadcast it
         # so the restriction join never shuffles the instance side
         acc = vdf if acc is None else _reconciled_join(acc, broadcast(vdf))
+    if acc is None:
+        # binds-only group: SPARQL's single empty solution μ0 — one
+        # row, no columns. The carrier column lives in the reserved
+        # __dt_ namespace (the tokenizer rejects such vars) and is
+        # dropped right after the binds extend it.
+        from kgforge.session import local_df
+
+        acc = local_df(triples.sparkSession, [(True,)], "__dt_mu0 boolean")
+    for var, ex in g.binds:
+        # parser guarantees the target is fresh and the operands were
+        # bound by preceding members, so extending columns post-join
+        # equals the spec's written-position evaluation
+        acc = _apply_valexpr(acc, var, ex)
+    if "__dt_mu0" in acc.columns:
+        acc = acc.drop("__dt_mu0")
     assert acc is not None
     for opt in g.optionals:
         # OPTIONAL = left outer join; the optional side computes its
@@ -1529,6 +1897,117 @@ def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
     raise ValueError(f"unknown expr {e!r}")
 
 
+#: datatypes whose arithmetic stays in 64-bit integers (xsd:integer
+#: and its derived types the engine carries)
+_INT_DTS = frozenset(
+    _XSD_NS + t
+    for t in ("integer", "long", "int", "short", "byte",
+              "nonNegativeInteger", "positiveInteger")
+)
+_INT_LEX = r"^[+-]?\d+$"
+
+
+def _compile_valexpr(e, cols: set[str]) -> tuple[F.Column, F.Column]:
+    """Value expression (BIND / SELECT expression) → (lexical-value
+    column, datatype-shadow column). The engine's term model rides
+    along: dt NULL = IRI, '' = plain literal, else datatype IRI.
+
+    Numeric rules (Arith docstring): integer×integer under +,-,*
+    evaluates in 64-bit integers via try_add/try_subtract/try_multiply
+    (overflow → NULL → unbound, not an ANSI runtime error) and carries
+    xsd:integer; every other numeric case evaluates in double via the
+    try_* family (so /0 and junk lexical forms become unbound, the
+    subset's reading of the spec's type-error rule — xsd:double's
+    INF-on-/0 is the one documented divergence) and carries
+    xsd:double. A non-numeric operand makes the whole arithmetic
+    result unbound."""
+    if isinstance(e, Var):
+        if e.name not in cols:
+            # statically unbound: the expression errors per row →
+            # target unbound (the parser rejects this inside BIND;
+            # reachable from SELECT expressions over OPTIONAL vars)
+            return F.lit(None).cast("string"), F.lit(None).cast("string")
+        sh = _dt_shadow(e.name)
+        dt = F.col(sh) if sh in cols else F.lit(None).cast("string")
+        return F.col(e.name), dt
+    if isinstance(e, Iri):
+        return F.lit(e.value), F.lit(None).cast("string")
+    if isinstance(e, Lit):
+        return F.lit(e.value), F.lit(e.dt if e.dt else "")
+    if isinstance(e, Arith):
+        lv, ld = _compile_valexpr(e.left, cols)
+        rv, rd = _compile_valexpr(e.right, cols)
+
+        def numeric(v: F.Column, d: F.Column) -> F.Column:
+            typed = F.coalesce(d.isin(*sorted(_NUMERIC_DTS)), F.lit(False))
+            plain = F.coalesce(
+                (d == "") & v.try_cast("double").isNotNull(), F.lit(False)
+            )
+            return typed | plain
+
+        def int_like(v: F.Column, d: F.Column) -> F.Column:
+            typed = F.coalesce(d.isin(*sorted(_INT_DTS)), F.lit(False))
+            plain = F.coalesce((d == "") & v.rlike(_INT_LEX), F.lit(False))
+            return typed | plain
+
+        valid = numeric(lv, ld) & numeric(rv, rd)
+        li, ri = lv.try_cast("long"), rv.try_cast("long")
+        ldb, rdb = lv.try_cast("double"), rv.try_cast("double")
+        null_s = F.lit(None).cast("string")
+        if e.op == "/":
+            both_int = F.lit(False)
+            int_val = null_s
+            dbl = F.try_divide(ldb, rdb)
+        else:
+            fn = {"+": F.try_add, "-": F.try_subtract, "*": F.try_multiply}[e.op]
+            both_int = (
+                int_like(lv, ld) & int_like(rv, rd)
+                & li.isNotNull() & ri.isNotNull()
+            )
+            int_val = fn(li, ri).cast("string")
+            dbl = fn(ldb, rdb)
+        value = (
+            F.when(~valid, null_s)
+            .when(both_int, int_val)
+            .otherwise(dbl.cast("string"))
+        )
+        dt = (
+            F.when(value.isNull(), null_s)
+            .when(both_int, F.lit(_XSD_NS + "integer"))
+            .otherwise(F.lit(_XSD_NS + "double"))
+        )
+        return value, dt
+    if isinstance(e, FnCall):
+        vals = [_compile_valexpr(a, cols)[0] for a in e.args]
+        plain = F.lit("")
+        if e.fn == "concat":
+            # NULL-propagating, per the spec's error rule (an unbound
+            # operand makes the result unbound)
+            return F.concat(*vals), plain
+        if e.fn == "str":
+            return vals[0], plain  # lexical form of any term
+        if e.fn == "strlen":
+            return F.length(vals[0]).cast("string"), F.lit(_XSD_NS + "integer")
+        if e.fn == "ucase":
+            return F.upper(vals[0]), plain
+        if e.fn == "lcase":
+            return F.lower(vals[0]), plain
+        raise ValueError(f"unknown value function {e.fn!r}")
+    raise ValueError(f"unknown value expression {e!r}")
+
+
+def _apply_valexpr(df: DataFrame, var: str, ex) -> DataFrame:
+    """Bind `var` (value + dt shadow) from a value expression; an
+    error (NULL value) forces the shadow NULL too, matching the
+    engine's unbound representation from OPTIONAL."""
+    val, dt = _compile_valexpr(ex, set(df.columns))
+    df = df.withColumn(var, val)
+    return df.withColumn(
+        _dt_shadow(var),
+        F.when(F.col(var).isNull(), F.lit(None).cast("string")).otherwise(dt),
+    )
+
+
 def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
     """SELECT with aggregates / GROUP BY: grouping is TERM-based (the
     datatype shadows participate in the keys — "5" plain and
@@ -1578,10 +2057,24 @@ def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
             return F.count(v).cast("bigint")
         if a.fn == "sum":
             return F.coalesce(F.sum(v.try_cast("double")), F.lit(0.0))
+        if a.fn == "avg":
+            # all-non-numeric / all-unbound group -> NULL (the spec's
+            # error value); numeric coercion identical to SUM
+            return F.avg(v.try_cast("double"))
         if a.fn == "min":
             return F.min(v)
         if a.fn == "max":
             return F.max(v)
+        if a.fn == "sample":
+            # spec: any member; engine: the MINIMUM lexical form, so
+            # results are deterministic (and oracle-checkable)
+            return F.min(v)
+        if a.fn == "group_concat":
+            # spec leaves member order undefined; the engine
+            # canonicalizes ascending (determinism ban on unordered
+            # collect) — oracle: string_agg(... ORDER BY ...)
+            members = F.collect_set(v) if a.distinct else F.collect_list(v)
+            return F.array_join(F.array_sort(members), a.sep)
         raise ValueError(f"unsupported aggregate {a.fn!r}")
 
     exprs = [agg_col(a).alias(a.alias) for a in q.aggs]
@@ -1643,7 +2136,25 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         return _select_aggregate(q, bound)
 
     if q.form == "select":
-        out_vars = q.select_vars
+        if q.exprs:
+            # SELECT expressions: spec-equivalent to a BIND appended
+            # after the group (the alias is fresh — parser-enforced
+            # against other projection items, here against the group's
+            # own variables)
+            clash = [a for a, _ in q.exprs if a in bound.columns]
+            if clash:
+                raise ValueError(
+                    f"SELECT expression alias(es) {clash} already bound "
+                    "in the group (spec: must be fresh)"
+                )
+            for alias, ex in q.exprs:
+                bound = _apply_valexpr(bound, alias, ex)
+            out_vars = [
+                name if kind == "var" else q.exprs[name][0]
+                for kind, name in q.select_items
+            ]
+        else:
+            out_vars = q.select_vars
         if out_vars is None:
             out_vars = [c for c in bound.columns if not c.startswith("__dt_")]
         missing = [v for v in out_vars if v not in bound.columns]

@@ -208,3 +208,37 @@ def test_transitive_closure_distributed_deep_chain(spark):
     )
     got = transitive_closure(df, max_driver_edges=0).count()
     assert got == (n + 1) * n // 2
+
+
+def test_seeded_reachable_driver_and_distributed(spark):
+    """Constant-endpoint path pushdown machinery: reachable-node set
+    from a seed, driver fast path vs distributed frontier BFS vs the
+    not-converged None fallback."""
+    from kgforge.rdfs import seeded_reachable
+    from kgforge.session import local_df
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # 3-cycle
+        ("c", "d"),
+        ("x", "y"),  # disconnected component
+    ]
+    e = local_df(spark, edges, "src string, dst string")
+    # driver fast path: cycle re-reaches the seed
+    got = {r.node for r in seeded_reachable(e, ["a"]).collect()}
+    assert got == {"a", "b", "c", "d"}
+    # distributed frontier BFS (force it with max_driver_edges=0)
+    got2 = {
+        r.node
+        for r in seeded_reachable(e, ["a"], max_driver_edges=0).collect()
+    }
+    assert got2 == got
+    # seed with no outgoing edges: empty (not even the seed itself)
+    assert seeded_reachable(e, ["d"]).count() == 0
+    # acyclic seed is NOT re-reached
+    got3 = {r.node for r in seeded_reachable(e, ["x"]).collect()}
+    assert got3 == {"y"}
+    # round budget exhausted -> None (caller falls back to closure)
+    assert seeded_reachable(e, ["a"], max_iter=2, max_driver_edges=0) is None
+    # multi-seed union
+    got4 = {r.node for r in seeded_reachable(e, ["x", "c"]).collect()}
+    assert got4 == {"y", "a", "b", "c", "d"}

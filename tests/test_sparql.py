@@ -1072,3 +1072,183 @@ def test_values_vars_participate_in_optional_hazard_guard(spark):
           'OPTIONAL { ?s <q> ?v } VALUES ?v { "1" } }')
     with pytest.raises(ValueError, match="OPTIONAL"):
         sparql(df, q2)
+
+
+def test_path_constant_endpoint_pushdown(spark):
+    """Round-6: `:x p+ ?y` / `?x p+ :y` take the seed-constrained BFS
+    route; results identical to the full-closure semantics, incl.
+    cycle reflexivity, literal tails, and `*` zero-length identity."""
+    rows = [
+        ("c:A", "p", "c:B", None),
+        ("c:B", "p", "c:C", None),
+        ("c:C", "p", "c:A", None),  # cycle back
+        ("c:C", "p", "lit9", ""),   # literal tail off the cycle
+        ("c:Z", "p", "c:Z2", None),  # unreachable from c:A
+    ]
+    df = _triples(spark, rows)
+    plus = {
+        (r.b,) for r in sparql(df, "SELECT ?b WHERE { <c:A> <p>+ ?b }").collect()
+    }
+    assert plus == {("c:A",), ("c:B",), ("c:C",), ("lit9",)}
+    # constant OBJECT: who reaches c:A (everyone on the cycle, incl. A)
+    to_a = {(r.a,) for r in sparql(df, "SELECT ?a WHERE { ?a <p>+ <c:A> }").collect()}
+    assert to_a == {("c:A",), ("c:B",), ("c:C",)}
+    # star keeps the zero-length identity even off-graph
+    star = {(r.b,) for r in sparql(df, "SELECT ?b WHERE { <c:NOPE> <p>* ?b }").collect()}
+    assert star == {("c:NOPE",)}
+    # star object-const
+    star_o = {(r.a,) for r in sparql(df, "SELECT ?a WHERE { ?a <p>* <c:Z2> }").collect()}
+    assert star_o == {("c:Z",), ("c:Z2",)}
+    # both endpoints constant: membership probe
+    both = sparql(df, "SELECT ?x WHERE { <c:B> <p>+ <c:A> . <c:A> <p> ?x }")
+    assert {(r.x,) for r in both.collect()} == {("c:B",)}
+    # literal endpoint with const subject goes through the seeded route
+    lit = sparql(df, 'SELECT ?x WHERE { <c:A> <p>+ "lit9" . <c:A> <p> ?x }')
+    assert {(r.x,) for r in lit.collect()} == {("c:B",)}
+    # literal CONST object with var subject falls back to full closure
+    lit2 = {(r.a,) for r in sparql(df, 'SELECT ?a WHERE { ?a <p>+ "lit9" }').collect()}
+    assert lit2 == {("c:A",), ("c:B",), ("c:C",)}
+
+
+def test_path_constant_pushdown_matches_full_closure(spark):
+    """The pushdown is a plan change only: seeded answers equal the
+    full-closure-then-filter answers on a random-ish graph."""
+    import random
+
+    rng = random.Random(6)
+    nodes = [f"n:{i}" for i in range(40)]
+    rows = [
+        (rng.choice(nodes), "p", rng.choice(nodes), None) for _ in range(80)
+    ] + [("n:1", "p", "leaf", "")]
+    df = _triples(spark, rows).distinct()
+    # full closure route (both endpoints variable), filtered in Python
+    full = {
+        (r.a, r.b)
+        for r in sparql(df, "SELECT ?a ?b WHERE { ?a <p>+ ?b }").collect()
+    }
+    for seed in ("n:0", "n:7"):
+        seeded = {
+            (seed, r.b)
+            for r in sparql(df, f"SELECT ?b WHERE {{ <{seed}> <p>+ ?b }}").collect()
+        }
+        assert seeded == {(a, b) for a, b in full if a == seed}
+        seeded_o = {
+            (r.a, seed)
+            for r in sparql(df, f"SELECT ?a WHERE {{ ?a <p>+ <{seed}> }}").collect()
+        }
+        assert seeded_o == {(a, b) for a, b in full if b == seed}
+
+
+def test_bind_arithmetic_and_typing(spark):
+    """BIND (round-6): integer arithmetic stays xsd:integer, any
+    double operand promotes to xsd:double, non-numeric operands make
+    the target unbound, / always evaluates in double."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("s1", "v", "3", XSD_INT),
+        ("s2", "v", "10", XSD_INT),
+        ("s3", "v", "2.5", ""),   # plain numeric literal: promoted
+        ("s4", "v", "junk", ""),  # non-numeric: BIND -> unbound
+    ]
+    df = _triples(spark, rows)
+    got = {
+        (r.s, r.n)
+        for r in sparql(
+            df, "SELECT ?s ?n WHERE { ?s <v> ?x . BIND(?x + 1 AS ?n) }"
+        ).collect()
+    }
+    assert got == {("s1", "4"), ("s2", "11"), ("s3", "3.5"), ("s4", None)}
+    got2 = {
+        (r.s, r.d, r.h)
+        for r in sparql(
+            df, "SELECT ?s ?d ?h WHERE { ?s <v> ?x . "
+                "BIND(?x * 2 AS ?d) BIND(?x / 2 AS ?h) }"
+        ).collect()
+    }
+    assert got2 == {
+        ("s1", "6", "1.5"), ("s2", "20", "5.0"),
+        ("s3", "5.0", "1.25"), ("s4", None, None),
+    }
+    # BIND target joins downstream: FILTER on it, typed numerically
+    got3 = {
+        r.s
+        for r in sparql(
+            df, "SELECT ?s WHERE { ?s <v> ?x . BIND(?x + 1 AS ?n) . "
+                "FILTER(?n > 4) }"
+        ).collect()
+    }
+    assert got3 == {"s2"}  # 11 > 4 numerically (lexically it is not)
+    # a BIND may read an earlier BIND
+    got4 = {
+        (r.s, r.m)
+        for r in sparql(
+            df, "SELECT ?s ?m WHERE { ?s <v> ?x . BIND(?x + 1 AS ?n) "
+                "BIND(?n * 10 AS ?m) }"
+        ).collect()
+    }
+    assert ("s1", "40") in got4
+
+
+def test_bind_string_functions(spark):
+    rows = [("s1", "v", "abC", ""), ("s2", "v", "x", None)]  # lit + IRI
+    df = _triples(spark, rows)
+    q = ("SELECT ?s ?c ?l ?u WHERE { ?s <v> ?x . "
+         'BIND(CONCAT("p:", STR(?x)) AS ?c) BIND(STRLEN(?x) AS ?l) '
+         "BIND(UCASE(?x) AS ?u) }")
+    got = {(r.s, r.c, r.l, r.u) for r in sparql(df, q).collect()}
+    assert got == {("s1", "p:abC", "3", "ABC"), ("s2", "p:x", "1", "X")}
+    # binds-only group: the single empty solution extended
+    got2 = [tuple(r) for r in sparql(df, "SELECT ?n WHERE { BIND(2+3 AS ?n) }").collect()]
+    assert got2 == [("5",)]
+
+
+def test_bind_rejections(spark):
+    df = _triples(spark, [("s1", "v", "1", "")])
+    with pytest.raises(ValueError, match="not bound before"):
+        sparql(df, "SELECT ?s WHERE { BIND(?y + 1 AS ?n) . ?s <v> ?y }")
+    with pytest.raises(ValueError, match="already in scope"):
+        sparql(df, "SELECT ?s WHERE { ?s <v> ?x . BIND(1 AS ?x) }")
+    with pytest.raises(ValueError, match="BIND-assigned"):
+        sparql(df, "SELECT ?s WHERE { ?s <v> ?x . BIND(1 AS ?n) . ?s <w> ?n }")
+    with pytest.raises(ValueError, match="out of subset"):
+        sparql(df, "SELECT (COUNT(?x) AS ?c) (?x + 1 AS ?e) "
+                   "WHERE { ?s <v> ?x } GROUP BY ?x")
+    # optionally-bound operand rejected (compile order hazard)
+    with pytest.raises(ValueError, match="not bound before"):
+        sparql(df, "SELECT ?s WHERE { ?s <v> ?x . "
+                   "OPTIONAL { ?s <w> ?o } BIND(?o + 1 AS ?n) }")
+
+
+def test_select_expressions(spark):
+    rows = [("s1", "v", "3", ""), ("s2", "v", "10", "")]
+    df = _triples(spark, rows)
+    q = 'SELECT (CONCAT("v", ?x) AS ?tag) ?s WHERE { ?s <v> ?x }'
+    out = sparql(df, q)
+    assert out.columns == ["tag", "s"]  # projection order preserved
+    assert {(r.tag, r.s) for r in out.collect()} == {("v3", "s1"), ("v10", "s2")}
+    # DISTINCT over expression results is term-based
+    q2 = "SELECT DISTINCT (STRLEN(?x) AS ?l) WHERE { ?s <v> ?x }"
+    assert sorted(r.l for r in sparql(df, q2).collect()) == ["1", "2"]
+    with pytest.raises(ValueError, match="alias"):
+        sparql(df, "SELECT (1+1 AS ?x) ?x WHERE { ?s <v> ?x }")
+
+
+def test_aggregates_avg_sample_group_concat(spark):
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        ("p:1", "v", "3", XSD_INT), ("p:1", "v", "7", XSD_INT),
+        ("p:2", "v", "junk", ""),
+        ("p:1", "w", "b", ""), ("p:1", "w", "a", ""), ("p:1", "w", "b", ""),
+    ]
+    df = _triples(spark, rows)
+    q = "SELECT ?s (AVG(?x) AS ?a) WHERE { ?s <v> ?x } GROUP BY ?s"
+    got = {(r.s, r.a) for r in sparql(df, q).collect()}
+    assert got == {("p:1", 5.0), ("p:2", None)}  # non-numeric -> NULL
+    # GROUP_CONCAT canonicalizes ascending; DISTINCT collapses dups
+    q2 = ('SELECT ?s (GROUP_CONCAT(?y; SEPARATOR=",") AS ?g) '
+          "(GROUP_CONCAT(DISTINCT ?y) AS ?gd) (SAMPLE(?y) AS ?m) "
+          "WHERE { ?s <w> ?y } GROUP BY ?s")
+    got2 = [tuple(r) for r in sparql(df, q2).collect()]
+    assert got2 == [("p:1", "a,b,b", "a b", "a")]
+    with pytest.raises(ValueError, match="SEPARATOR"):
+        sparql(df, 'SELECT (SUM(?x; SEPARATOR=",") AS ?s) WHERE { ?s <v> ?x }')
