@@ -242,8 +242,16 @@ class Group:
     optionals: list["Group"] = field(default_factory=list)
     unions: list[list["Group"]] = field(default_factory=list)  # one entry per UNION chain
     exists: list[tuple[bool, "Group"]] = field(default_factory=list)  # (negated, group)
-    values: list[tuple[list[str], list[list[Term]]]] = field(default_factory=list)
+    values: list[tuple[list[str], list[list[Term | None]]]] = field(default_factory=list)
     binds: list[tuple[str, object]] = field(default_factory=list)  # (var, ValExpr)
+    subqueries: list["Query"] = field(default_factory=list)
+    #: the written member order (round 6): ("pattern"|"union"|"values"|
+    #: "bind"|"optional"|"minus"|"subquery", index into that list).
+    #: The compiler walks this log, implementing the spec's sequential
+    #: TranslateGroupGraphPattern (Join / LeftJoin / Minus / Extend in
+    #: written order) — FILTERs and FILTER [NOT] EXISTS stay
+    #: group-scoped (applied once, at the end, per the spec).
+    members: list[tuple[str, int]] = field(default_factory=list)
 
     def all_vars(self) -> list[str]:
         """Variables of this group's own patterns, first-seen order."""
@@ -419,10 +427,9 @@ def _pattern_vars(pats: list[tuple]) -> set[str]:
 
 def _group_binds(g: Group) -> set[str]:
     """Every variable a group graph pattern may BIND (patterns, UNION
-    branches, nested OPTIONALs, VALUES blocks, BIND targets — not
-    MINUS/FILTER, which never bind; round-5 advice: a var bound only
-    via VALUES used to escape the pattern-after-OPTIONAL hazard
-    guard)."""
+    branches, nested OPTIONALs, VALUES blocks, BIND targets, subquery
+    projections — not MINUS/FILTER, which never bind; round-5 advice:
+    a var bound only via VALUES used to escape the hazard guard)."""
     out = _pattern_vars(g.patterns)
     for alts in g.unions:
         for a in alts:
@@ -432,7 +439,76 @@ def _group_binds(g: Group) -> set[str]:
     for vars_, _rows in g.values:
         out |= set(vars_)
     out |= {v for v, _e in g.binds}
+    for sq in g.subqueries:
+        out |= set(_subquery_vars(sq))
     return out
+
+
+def _certain_binds(g: Group) -> set[str]:
+    """Variables bound in EVERY solution of the group — the complement
+    drives the compatibility-join machinery (round 6): a var that may
+    be unbound (NULL) joins with SPARQL compatibility semantics
+    (unbound matches anything), a certainly-bound var keeps the fast
+    null-safe equi-join. Certain: pattern vars, vars certain in ALL
+    UNION branches, VALUES vars with no UNDEF row, subquery
+    projections certain in the inner group. NOT certain: anything from
+    OPTIONAL, BIND targets (an evaluation error leaves the target
+    unbound), aggregate aliases that can be NULL (AVG/MIN/MAX/SAMPLE
+    over all-unbound groups), SELECT-expression aliases."""
+    out = _pattern_vars(g.patterns)
+    for alts in g.unions:
+        if alts:
+            out |= set.intersection(*(_certain_binds(a) for a in alts))
+    for vars_, rows in g.values:
+        for j, v in enumerate(vars_):
+            if all(row[j] is not None for row in rows):
+                out.add(v)
+    for sq in g.subqueries:
+        out |= _subquery_certain(sq)
+    return out
+
+
+def _subquery_certain(sq: "Query") -> set[str]:
+    """Subquery projections certainly bound in every output row:
+    plain vars certain in the inner group, plus COUNT / SUM /
+    GROUP_CONCAT aliases (never NULL). AVG/MIN/MAX/SAMPLE can yield
+    NULL (all-unbound or all-non-numeric groups) — maybe."""
+    inner_certain = _certain_binds(sq.group)
+    out: set[str] = set()
+    for kind, name in sq.select_items or [
+        ("var", v) for v in (sq.select_vars or [])
+    ]:
+        if kind == "var" and name in inner_certain:
+            out.add(name)
+        elif kind == "agg":
+            a = sq.aggs[name]
+            if a.fn in ("count", "sum", "group_concat"):
+                out.add(a.alias)
+    return out
+
+
+def _maybe_binds(g: Group) -> set[str]:
+    """Variables the group may bind but may also leave unbound."""
+    return _group_binds(g) - _certain_binds(g)
+
+
+def _subquery_vars(sq: "Query") -> list[str]:
+    """The variables a `{ SELECT ... }` subquery projects into the
+    enclosing group."""
+    if sq.select_items is not None:
+        out = []
+        for kind, name in sq.select_items:
+            if kind == "var":
+                out.append(name)
+            elif kind == "agg":
+                out.append(sq.aggs[name].alias)
+            else:
+                out.append(sq.exprs[name][0])
+        return out
+    if sq.select_vars is not None:
+        return list(sq.select_vars)
+    raise ValueError("SELECT * subqueries are out of subset (name the "
+                     "variables the subquery projects)")
 
 
 def _valexpr_vars(e) -> set[str]:
@@ -690,72 +766,35 @@ class _Parser:
     def _group(self) -> Group:
         self.expect("op", "{")
         g = Group()
-        # pattern-after-OPTIONAL guard (round-4 advice): Group drops
-        # textual order, and the compiler joins all patterns BEFORE
-        # applying optionals — hoisting a pattern over an OPTIONAL is
-        # only semantics-preserving when it shares no variable the
-        # OPTIONAL may leave unbound (Join(LeftJoin(P,O), P2) ==
-        # LeftJoin(Join(P,P2), O) iff vars(P2) ∩ newvars(O) == ∅).
-        # `bound` tracks vars certainly bound so far; `hazard` the
-        # optional-only vars; later patterns / UNION blocks / MINUS
-        # sides touching a hazard var are out of subset and REJECTED,
-        # matching the explicit-rejection policy used elsewhere.
+        # Round 6: the compiler evaluates group members IN WRITTEN
+        # ORDER (the spec's sequential TranslateGroupGraphPattern —
+        # Join / LeftJoin / Minus / Extend at each member's position),
+        # so the round-4/5 reorder-hazard rejections are gone: a
+        # pattern after an OPTIONAL joins with SPARQL compatibility
+        # semantics (unbound matches anything, the merged solution
+        # takes the bound side), a pattern may join on a BIND target,
+        # MINUS applies at its written position. What remains checked
+        # here are the spec's own BIND scoping rules: `bound` tracks
+        # certainly-bound vars, `scope` everything in scope including
+        # maybe-unbound (OPTIONAL / UNDEF-VALUES / BIND-target) vars.
         bound: set[str] = set()
-        hazard: set[str] = set()
-        bind_targets: set[str] = set()
-
-        def _check(new_vars: set[str], what: str) -> None:
-            clash = new_vars & hazard
-            if clash:
-                raise ValueError(
-                    f"{what} written after an OPTIONAL shares its "
-                    f"optionally-bound variable(s) {sorted(clash)} — the "
-                    "compiler would reorder it before the OPTIONAL "
-                    "(different semantics); out of subset"
-                )
-            # BIND targets compile AFTER the group's joins: a pattern /
-            # UNION / VALUES member using one would be hoisted before
-            # the BIND (different semantics) — rejected, same policy
-            bclash = new_vars & bind_targets
-            if bclash:
-                raise ValueError(
-                    f"{what} uses BIND-assigned variable(s) "
-                    f"{sorted(bclash)} — the subset evaluates BIND after "
-                    "the group's patterns, so a pattern cannot join on a "
-                    "BIND target (use FILTER/OPTIONAL/MINUS, which "
-                    "evaluate after BIND); out of subset"
-                )
+        scope: set[str] = set()
 
         while not self.at("op", "}"):
             if self.at("kw", "minus"):
                 self.next()
                 m = self._group()
-                _check(_group_binds(m), "MINUS")
                 g.minuses.append(m)
+                g.members.append(("minus", len(g.minuses) - 1))
             elif self.at("kw", "optional"):
                 self.next()
                 opt = self._group()
                 g.optionals.append(opt)
-                new_hazard = _group_binds(opt) - bound
-                # the REVERSE reorder: the compiler applies optionals
-                # BEFORE minuses, so a MINUS already parsed that shares
-                # this OPTIONAL's new vars would also run under
-                # different semantics than written — reject both
-                # directions ("MINUS and OPTIONAL may not share
-                # optionally-bound variables")
-                for m in g.minuses:
-                    clash = _group_binds(m) & new_hazard
-                    if clash:
-                        raise ValueError(
-                            "MINUS written before an OPTIONAL shares its "
-                            f"optionally-bound variable(s) {sorted(clash)} — "
-                            "the compiler applies optionals first "
-                            "(different semantics); out of subset"
-                        )
-                hazard |= new_hazard
+                g.members.append(("optional", len(g.optionals) - 1))
+                scope |= _group_binds(opt)
             elif self.at("kw", "filter"):
                 # filters are group-scoped in SPARQL (applied to the
-                # whole group regardless of position) — no hazard.
+                # whole group regardless of position) — not a member.
                 # FILTER [NOT] EXISTS { G } is the brace-group form
                 # (top-level only; EXISTS nested inside boolean
                 # expressions is out of subset)
@@ -781,29 +820,55 @@ class _Parser:
                     g.filters.append(self._expr())
                     self.expect("op", ")")
             elif self.at("op", "{"):
+                k2, v2 = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks) else ("eof", "")
+                )
+                if k2 == "kw" and v2 == "select":
+                    # subquery: evaluated independently (bottom-up per
+                    # spec), its projection joins the enclosing group
+                    # at this position
+                    self.next()
+                    sq = self._select()
+                    self.expect("op", "}")
+                    if sq.exprs:
+                        raise ValueError(
+                            "SELECT expressions inside subqueries are "
+                            "out of subset (use BIND in the outer group)"
+                        )
+                    sq_vars = set(_subquery_vars(sq))  # raises on SELECT *
+                    g.subqueries.append(sq)
+                    g.members.append(("subquery", len(g.subqueries) - 1))
+                    bound |= _subquery_certain(sq)
+                    scope |= sq_vars
+                    continue
                 inner = self._group()
                 if self.at("kw", "union"):
                     alts = [inner]
                     while self.at("kw", "union"):
                         self.next()
                         alts.append(self._group())
-                    uvars = set().union(*(_group_binds(a) for a in alts))
-                    _check(uvars, "UNION block")
                     g.unions.append(alts)
-                    bound |= uvars
+                    g.members.append(("union", len(g.unions) - 1))
+                    bound |= set.intersection(*(_certain_binds(a) for a in alts))
+                    scope |= set().union(*(_group_binds(a) for a in alts))
                 else:
-                    # nested group graph pattern with no UNION == merge
-                    # (EVERY member list carries over — a dropped
-                    # inner.values/inner.exists would silently widen
-                    # the result instead of restricting it, round-5
-                    # advice)
-                    _check(_group_binds(inner), "nested group")
+                    # nested group graph pattern with no UNION: splice
+                    # its members into the parent at this position
+                    # (order preserved; indices re-based)
                     for tgt2, _ex2 in inner.binds:
-                        if tgt2 in bound or tgt2 in hazard:
+                        if tgt2 in scope:
                             raise ValueError(
                                 f"BIND target ?{tgt2} of a nested group "
                                 "is already in scope (spec: must be fresh)"
                             )
+                    offs = {
+                        "pattern": len(g.patterns), "union": len(g.unions),
+                        "values": len(g.values), "bind": len(g.binds),
+                        "optional": len(g.optionals),
+                        "minus": len(g.minuses),
+                        "subquery": len(g.subqueries),
+                    }
                     g.patterns += inner.patterns
                     g.filters += inner.filters
                     g.minuses += inner.minuses
@@ -812,22 +877,19 @@ class _Parser:
                     g.values += inner.values
                     g.exists += inner.exists
                     g.binds += inner.binds
-                    bound |= _pattern_vars(inner.patterns)
-                    for alts2 in inner.unions:
-                        bound |= set().union(*(_group_binds(a) for a in alts2))
-                    for vars2, _rows2 in inner.values:
-                        bound |= set(vars2)
-                    for tgt2, _ex2 in inner.binds:
-                        bind_targets.add(tgt2)
-                        bound.add(tgt2)
-                    for opt in inner.optionals:
-                        hazard |= _group_binds(opt) - bound
+                    g.subqueries += inner.subqueries
+                    g.members += [(k, i + offs[k]) for k, i in inner.members]
+                    bound |= _certain_binds(inner)
+                    scope |= _group_binds(inner)
             elif self.at("kw", "values"):
                 self.next()
                 vars_, rows = self._values_block()
-                _check(set(vars_), "VALUES block")
                 g.values.append((vars_, rows))
-                bound |= set(vars_)
+                g.members.append(("values", len(g.values) - 1))
+                for j, v in enumerate(vars_):
+                    if all(row[j] is not None for row in rows):
+                        bound.add(v)
+                scope |= set(vars_)
             elif self.at("kw", "bind"):
                 self.next()
                 self.expect("op", "(")
@@ -838,26 +900,28 @@ class _Parser:
                 tgt = self.expect("var")
                 self.expect("op", ")")
                 used = _valexpr_vars(ex)
-                fwd = used - bound
+                fwd = used - scope
                 if fwd:
                     # spec scoping: BIND sees only variables bound by
-                    # PRECEDING elements; a forward/optional-only/never
-                    # reference would silently evaluate differently
-                    # under the subset's patterns-first compile order
+                    # PRECEDING elements — a reference to a var no
+                    # preceding member can bind is almost certainly a
+                    # typo; rejected loudly (the spec would silently
+                    # evaluate it as unbound). Optionally-bound
+                    # operands ARE in scope: NULL propagates to an
+                    # unbound target, the spec's error value.
                     raise ValueError(
                         f"BIND reads variable(s) {sorted(fwd)} not bound "
-                        "before it (move the BIND after the pattern that "
-                        "binds them; optionally-bound or never-bound "
-                        "operands are out of subset)"
+                        "by any preceding member (move the BIND after "
+                        "the pattern that binds them)"
                     )
-                if tgt in bound or tgt in hazard:
+                if tgt in scope:
                     raise ValueError(
                         f"BIND target ?{tgt} is already in scope "
                         "(spec: the target must be a fresh variable)"
                     )
                 g.binds.append((tgt, ex))
-                bind_targets.add(tgt)
-                bound.add(tgt)
+                g.members.append(("bind", len(g.binds) - 1))
+                scope.add(tgt)
             elif self.at("op", "."):
                 self.next()
             elif self.at("kw", "union"):
@@ -865,9 +929,12 @@ class _Parser:
             else:
                 n_before = len(g.patterns)
                 self._triple_lists(g.patterns)
+                g.members += [
+                    ("pattern", i) for i in range(n_before, len(g.patterns))
+                ]
                 new_vars = _pattern_vars(g.patterns[n_before:])
-                _check(new_vars, "triple pattern")
                 bound |= new_vars
+                scope |= new_vars
         self.expect("op", "}")
         return g
 
@@ -989,7 +1056,7 @@ class _Parser:
             dt = "integer" if re.fullmatch(r"[+-]?\d+", v) else "decimal"
             return Lit(v, _XSD_NS + dt)
         if k == "word" and v.lower() == "undef":
-            raise ValueError("UNDEF in VALUES is out of subset")
+            return None  # unbound in this row (round 6)
         raise ValueError(f"bad VALUES term {k}:{v!r}")
 
     # -- value expressions (BIND / SELECT expressions) -----------------
@@ -1544,36 +1611,112 @@ def _compile_pattern(
     return out
 
 
-def _shared_keys(acc: DataFrame, pdf: DataFrame) -> list[str]:
-    # dt shadows join too when BOTH sides carry them (term equality
-    # includes the datatype); a side that lacks the shadow bound the
-    # var in subj/pred position -> handled by the iri_only filter
-    both = set(acc.columns) & set(pdf.columns)
-    return sorted(c for c in both if not c.startswith("__dt_")) + sorted(
-        c for c in both if c.startswith("__dt_")
-    )
-
-
-def _null_safe_cond(keys: list[str]) -> F.Column:
-    # a dt shadow is NULL for IRI bindings, so key equality must be
-    # null-safe (<=>) or IRI == IRI never matches
+def _compat_cond(
+    l_cols: list[str], r_cols: list[str], shared: list[str],
+    l_maybe: set[str], r_maybe: set[str],
+) -> F.Column:
+    """Join condition between two binding sets (_l, _r) under SPARQL
+    solution COMPATIBILITY (round 6): a var that may be UNBOUND (NULL)
+    on either side matches anything when unbound — `l IS NULL OR r IS
+    NULL OR l = r (term-equal incl. datatype)`. Certainly-bound vars
+    keep the fast null-safe equality of _boundary_cond, so the common
+    all-bound join still plans as a hash join on every key; only the
+    genuinely maybe-unbound vars fall out of the equi-key set (Catalyst
+    keeps the equality keys for the hash join and evaluates the
+    OR-NULL residual as a post-join condition)."""
     cond = F.lit(True)
-    for k in keys:
-        cond = cond & F.col(f"_l.{k}").eqNullSafe(F.col(f"_r.{k}"))
+    for v in shared:
+        l, r = F.col(f"_l.{v}"), F.col(f"_r.{v}")
+        sh = _dt_shadow(v)
+        l_sh, r_sh = sh in l_cols, sh in r_cols
+        if l_sh and r_sh:
+            dt_eq = F.col(f"_l.{sh}").eqNullSafe(F.col(f"_r.{sh}"))
+        elif l_sh:  # other side bound v IRI-only — only IRI terms match
+            dt_eq = F.col(f"_l.{sh}").isNull()
+        elif r_sh:
+            dt_eq = F.col(f"_r.{sh}").isNull()
+        else:
+            dt_eq = F.lit(True)
+        if v in l_maybe or v in r_maybe:
+            cond = cond & (l.isNull() | r.isNull() | ((l == r) & dt_eq))
+        else:
+            cond = cond & l.eqNullSafe(r) & dt_eq
     return cond
 
 
-def _join_step(acc: DataFrame | None, pdf: DataFrame) -> DataFrame:
+def _merged_cols(
+    l_cols: list[str], r_cols: list[str], shared: list[str],
+    l_maybe: set[str], r_maybe: set[str],
+) -> list[F.Column]:
+    """Output projection of a compatibility join: the merged solution
+    takes the BOUND side's term for a shared maybe-unbound var
+    (coalesce; the shadow follows whichever side supplied the value),
+    the left side's for certainly-bound vars (the sides are term-equal
+    there). Column order: left columns, then right-only columns."""
+    compat = {v for v in shared if v in l_maybe or v in r_maybe}
+    lset = set(l_cols)
+    out: list[F.Column] = []
+    for c in l_cols:
+        if c.startswith("__dt_"):
+            v = c[5:]
+            if v in compat:
+                r_sh = (
+                    F.col(f"_r.{c}") if c in r_cols
+                    else F.lit(None).cast("string")
+                )
+                out.append(
+                    F.when(F.col(f"_l.{v}").isNotNull(), F.col(f"_l.{c}"))
+                    .otherwise(r_sh).alias(c)
+                )
+            else:
+                out.append(F.col(f"_l.{c}").alias(c))
+        elif c in compat:
+            out.append(F.coalesce(F.col(f"_l.{c}"), F.col(f"_r.{c}")).alias(c))
+        else:
+            out.append(F.col(f"_l.{c}").alias(c))
+    for c in r_cols:
+        if c in lset:
+            continue
+        if c.startswith("__dt_") and c[5:] in compat:
+            # right-only shadow of a merged var: the left side bound it
+            # IRI-only (dt NULL) — the shadow applies only when the
+            # value came from the right
+            v = c[5:]
+            out.append(
+                F.when(F.col(f"_l.{v}").isNull(), F.col(f"_r.{c}")).alias(c)
+            )
+        else:
+            out.append(F.col(f"_r.{c}").alias(c))
+    return out
+
+
+def _compat_join(
+    acc: DataFrame | None, other: DataFrame,
+    l_maybe: set[str], r_maybe: set[str],
+) -> tuple[DataFrame, set[str]]:
+    """SPARQL Join of two binding sets; returns (joined, maybe-unbound
+    vars of the result). A shared var stays maybe only when BOTH sides
+    may leave it unbound (a certainly-bound side always supplies a
+    term via coalesce)."""
     if acc is None:
-        return pdf
-    keys = _shared_keys(acc, pdf)
-    if not keys:
-        return acc.crossJoin(pdf)
-    joined = acc.alias("_l").join(pdf.alias("_r"), _null_safe_cond(keys), "inner")
-    keep = [F.col(f"_l.{c}").alias(c) for c in acc.columns] + [
-        F.col(f"_r.{c}").alias(c) for c in pdf.columns if c not in set(acc.columns)
-    ]
-    return joined.select(keep)
+        return other, set(r_maybe)
+    l_cols, r_cols = list(acc.columns), list(other.columns)
+    l_vars = {c for c in l_cols if not c.startswith("__dt_")}
+    r_vars = {c for c in r_cols if not c.startswith("__dt_")}
+    shared = sorted(l_vars & r_vars)
+    new_maybe = (
+        {v for v in shared if v in l_maybe and v in r_maybe}
+        | ((l_vars - r_vars) & l_maybe)
+        | ((r_vars - l_vars) & r_maybe)
+    )
+    if not shared:
+        return acc.crossJoin(other), new_maybe
+    cond = _compat_cond(l_cols, r_cols, shared, l_maybe, r_maybe)
+    joined = acc.alias("_l").join(other.alias("_r"), cond, "inner")
+    return (
+        joined.select(_merged_cols(l_cols, r_cols, shared, l_maybe, r_maybe)),
+        new_maybe,
+    )
 
 
 def _boundary_cond(
@@ -1598,27 +1741,33 @@ def _boundary_cond(
     return cond
 
 
-def _compile_union(triples: DataFrame, alts: list[Group]) -> DataFrame:
+def _compile_union(
+    triples: DataFrame, alts: list[Group]
+) -> tuple[DataFrame, set[str]]:
     """{A} UNION {B} ... — each branch compiled independently, solution
-    BAGS unioned (duplicates kept per spec). Subset restriction:
-    branches must bind the same variable set (module docstring).
-    Datatype shadows align across branches — a branch that bound the
-    var IRI-only contributes NULL shadows (NULL = the IRI tag)."""
-    dfs = [_compile_group(triples, a) for a in alts]
+    BAGS unioned (duplicates kept per spec). Branches may bind
+    DIFFERENT variable sets (round 6): a var missing from a branch is
+    unbound (NULL value + NULL shadow) in that branch's solutions and
+    joins the maybe-unbound set. Datatype shadows align across
+    branches — a branch that bound the var IRI-only contributes NULL
+    shadows (NULL = the IRI tag). Returns (bag, maybe-unbound vars)."""
+    compiled = [_compile_group_ex(triples, a) for a in alts]
+    dfs = [c[0] for c in compiled]
     varsets = [
         {c for c in d.columns if not c.startswith("__dt_")} for d in dfs
     ]
-    if any(v != varsets[0] for v in varsets):
-        raise ValueError(
-            "UNION branches must bind the same variables "
-            f"(got {sorted(varsets[0])} vs {sorted(next(v for v in varsets if v != varsets[0]))})"
-        )
+    all_vars = set().union(*varsets)
+    certain = set.intersection(*varsets)
+    maybe = (all_vars - certain) | set().union(*(c[1] for c in compiled))
     shadows = sorted(
         set().union(*({c for c in d.columns if c.startswith("__dt_")} for d in dfs))
     )
-    cols = sorted(varsets[0]) + shadows
+    cols = sorted(all_vars) + shadows
     aligned = []
     for d in dfs:
+        for v in sorted(all_vars):
+            if v not in d.columns:
+                d = d.withColumn(v, F.lit(None).cast("string"))
         for sh in shadows:
             if sh not in d.columns:
                 d = d.withColumn(sh, F.lit(None).cast("string"))
@@ -1626,37 +1775,16 @@ def _compile_union(triples: DataFrame, alts: list[Group]) -> DataFrame:
     out = aligned[0]
     for d in aligned[1:]:
         out = out.unionByName(d)
-    return out
-
-
-def _reconciled_join(acc: DataFrame, other: DataFrame) -> DataFrame:
-    """Inner join of two binding sets where the sides may DISAGREE on
-    which vars carry datatype shadows — the _boundary_cond treatment
-    (shared with MINUS/OPTIONAL) applied to a plain conjunction join.
-    Used at the UNION-block boundary; plain pattern chaining keeps the
-    simpler _join_step (a pattern's shadow carriage is decided by the
-    group-level iri_only set, so its sides always agree)."""
-    shared = sorted(
-        c
-        for c in set(acc.columns) & set(other.columns)
-        if not c.startswith("__dt_")
-    )
-    if not shared:
-        return acc.crossJoin(other)
-    cond = _boundary_cond(acc.columns, other.columns, shared)
-    new_cols = [c for c in other.columns if c not in set(acc.columns)]
-    joined = acc.alias("_l").join(other.alias("_r"), cond, "inner")
-    return joined.select(
-        [F.col(f"_l.{c}").alias(c) for c in acc.columns]
-        + [F.col(f"_r.{c}").alias(c) for c in new_cols]
-    )
+    return out, maybe
 
 
 def _values_df(spark, vars_: list[str], rows: list[list]) -> DataFrame:
     """Inline VALUES data as a local relation: one lexical column per
     variable plus its datatype shadow (a block may mix IRIs and
     literals), joined into the group datatype-reconciled. Bag
-    semantics — duplicate rows are kept as written."""
+    semantics — duplicate rows are kept as written. UNDEF (round 6)
+    arrives as None → NULL value + NULL shadow, an unbound binding the
+    compatibility join lets match anything."""
     from kgforge.session import local_df
 
     cols: list[str] = []
@@ -1666,7 +1794,9 @@ def _values_df(spark, vars_: list[str], rows: list[list]) -> DataFrame:
     for row in rows:
         out: list[str | None] = []
         for t in row:
-            if isinstance(t, Iri):
+            if t is None:  # UNDEF
+                out += [None, None]
+            elif isinstance(t, Iri):
                 out += [t.value, None]
             else:  # Lit
                 out += [t.value, t.dt if t.dt else ""]
@@ -1676,80 +1806,109 @@ def _values_df(spark, vars_: list[str], rows: list[list]) -> DataFrame:
 
 
 def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
-    if not g.patterns and not g.unions and not g.values and not g.binds:
-        raise ValueError("empty group graph pattern")
-    iri_only = _iri_only_vars(g)
-    acc: DataFrame | None = None
-    for pat in g.patterns:
-        acc = _join_step(acc, _compile_pattern(triples, pat, iri_only))
-    for alts in g.unions:
-        ublock = _compile_union(triples, alts)
-        acc = ublock if acc is None else _reconciled_join(acc, ublock)
-    for vars_, rows in g.values:
-        vdf = _values_df(triples.sparkSession, vars_, rows)
-        # inline data is row-count-tiny by construction — broadcast it
-        # so the restriction join never shuffles the instance side
-        acc = vdf if acc is None else _reconciled_join(acc, broadcast(vdf))
-    if acc is None:
-        # binds-only group: SPARQL's single empty solution μ0 — one
-        # row, no columns. The carrier column lives in the reserved
-        # __dt_ namespace (the tokenizer rejects such vars) and is
-        # dropped right after the binds extend it.
-        from kgforge.session import local_df
+    """Compile a group graph pattern (see _compile_group_ex)."""
+    return _compile_group_ex(triples, g)[0]
 
-        acc = local_df(triples.sparkSession, [(True,)], "__dt_mu0 boolean")
-    for var, ex in g.binds:
-        # parser guarantees the target is fresh and the operands were
-        # bound by preceding members, so extending columns post-join
-        # equals the spec's written-position evaluation
-        acc = _apply_valexpr(acc, var, ex)
+
+#: member kinds that bind solutions (a group made only of MINUS /
+#: OPTIONAL members has nothing to subtract from / extend)
+_BINDING_MEMBERS = frozenset(("pattern", "union", "values", "bind", "subquery"))
+
+
+def _compile_group_ex(
+    triples: DataFrame, g: Group
+) -> tuple[DataFrame, set[str]]:
+    """Compile a group graph pattern IN WRITTEN MEMBER ORDER — the
+    spec's sequential TranslateGroupGraphPattern: each member Joins /
+    LeftJoins (OPTIONAL) / Minuses / Extends (BIND) the accumulated
+    solution set at its own position. FILTERs and FILTER [NOT] EXISTS
+    are group-scoped (applied once, at the end, per the spec).
+
+    Returns (solutions, maybe-unbound vars). The maybe set — vars an
+    OPTIONAL / UNDEF VALUES row / BIND error / partial UNION branch
+    may leave NULL — drives the compatibility-join conditions: unbound
+    matches anything and the merged solution takes the bound side.
+    Certainly-bound vars keep null-safe equality, so the common
+    all-bound query still plans hash joins on every key."""
+    if not any(k in _BINDING_MEMBERS for k, _ in g.members):
+        raise ValueError("empty group graph pattern")
+    from kgforge.session import local_df
+
+    iri_only = _iri_only_vars(g)
+    spark = triples.sparkSession
+    acc: DataFrame | None = None
+    maybe: set[str] = set()
+
+    def mu0() -> DataFrame:
+        # SPARQL's single empty solution μ0 — one row, no columns. The
+        # carrier column lives in the reserved __dt_ namespace (the
+        # tokenizer rejects such vars) and is dropped at the end.
+        return local_df(spark, [(True,)], "__dt_mu0 boolean")
+
+    for kind, i in g.members:
+        if kind == "pattern":
+            pdf = _compile_pattern(triples, g.patterns[i], iri_only)
+            acc, maybe = _compat_join(acc, pdf, maybe, set())
+        elif kind == "union":
+            udf, umaybe = _compile_union(triples, g.unions[i])
+            acc, maybe = _compat_join(acc, udf, maybe, umaybe)
+        elif kind == "values":
+            vars_, rows = g.values[i]
+            vdf = _values_df(spark, vars_, rows)
+            vmaybe = {
+                v for j, v in enumerate(vars_)
+                if any(row[j] is None for row in rows)
+            }
+            # inline data is row-count-tiny by construction — broadcast
+            # so the restriction join never shuffles the instance side
+            acc, maybe = _compat_join(acc, broadcast(vdf), maybe, vmaybe)
+        elif kind == "subquery":
+            sdf, smaybe = _compile_subquery(triples, g.subqueries[i])
+            acc, maybe = _compat_join(acc, sdf, maybe, smaybe)
+        elif kind == "bind":
+            var, ex = g.binds[i]
+            if acc is None:
+                acc = mu0()
+            # parser guarantees the target is fresh and the operands
+            # are in scope; a NULL operand (optionally-bound var on a
+            # non-matching row) propagates to an unbound target — the
+            # spec's evaluation-error value
+            acc = _apply_valexpr(acc, var, ex)
+            maybe = maybe | {var}
+        elif kind == "optional":
+            if acc is None:
+                acc = mu0()
+            # OPTIONAL = left outer join at this member's position; the
+            # optional side computes its OWN iri-only set (an
+            # occurrence inside OPTIONAL must not restrict the outer
+            # group's bindings)
+            odf, omaybe = _compile_group_ex(triples, g.optionals[i])
+            l_vars = {c for c in acc.columns if not c.startswith("__dt_")}
+            r_vars = {c for c in odf.columns if not c.startswith("__dt_")}
+            shared = sorted(l_vars & r_vars)
+            if not shared and "__dt_mu0" not in acc.columns:
+                raise ValueError(
+                    "OPTIONAL sharing no variable with its group is out "
+                    "of subset (would be a cartesian extension)"
+                )
+            cond = _compat_cond(acc.columns, odf.columns, shared, maybe, omaybe)
+            joined = acc.alias("_l").join(odf.alias("_r"), cond, "left_outer")
+            acc = joined.select(
+                _merged_cols(acc.columns, odf.columns, shared, maybe, omaybe)
+            )
+            maybe = (maybe & l_vars) | (r_vars - l_vars)
+        elif kind == "minus":
+            if acc is None:
+                # Minus(μ0, A): μ0's domain is empty — no overlap, μ0
+                # survives; nothing to do until a binding member lands
+                continue
+            mdf, mmaybe = _compile_group_ex(triples, g.minuses[i])
+            acc = _minus_join(acc, mdf, g.minuses[i], maybe, mmaybe)
+        else:  # pragma: no cover — parser emits only the kinds above
+            raise ValueError(f"unknown group member kind {kind!r}")
+    assert acc is not None
     if "__dt_mu0" in acc.columns:
         acc = acc.drop("__dt_mu0")
-    assert acc is not None
-    for opt in g.optionals:
-        # OPTIONAL = left outer join; the optional side computes its
-        # OWN iri-only set (an occurrence inside OPTIONAL must not
-        # restrict the outer group's bindings — non-matching solutions
-        # survive with unbound vars)
-        odf = _compile_group(triples, opt)
-        shared = sorted(
-            c
-            for c in set(acc.columns) & set(odf.columns)
-            if not c.startswith("__dt_")
-        )
-        if not shared:
-            raise ValueError(
-                "OPTIONAL sharing no variable with its group is out of "
-                "subset (would be a cartesian extension)"
-            )
-        cond = _boundary_cond(acc.columns, odf.columns, shared)
-        new_cols = [c for c in odf.columns if c not in set(acc.columns)]
-        joined = acc.alias("_l").join(odf.alias("_r"), cond, "left_outer")
-        acc = joined.select(
-            [F.col(f"_l.{c}").alias(c) for c in acc.columns]
-            + [F.col(f"_r.{c}").alias(c) for c in new_cols]
-        )
-    for m in g.minuses:
-        # the MINUS side computes its OWN iri-only set; the boundary
-        # reconciles sides that disagree on a shared variable's term
-        # kind (one side shadowed, the other IRI-only)
-        mdf = _compile_group(triples, m)
-        shared = sorted(
-            c
-            for c in set(acc.columns) & set(mdf.columns)
-            if not c.startswith("__dt_")
-        )
-        if not shared:  # SPARQL MINUS with disjoint domains is a no-op
-            continue
-        keep = shared + [
-            _dt_shadow(v) for v in shared if _dt_shadow(v) in mdf.columns
-        ]
-        cond = _boundary_cond(acc.columns, mdf.columns, shared)
-        acc = acc.alias("_l").join(
-            broadcast_if_schema_only(m, mdf.select(keep)).alias("_r"),
-            cond,
-            "left_anti",
-        )
     for negated, eg in g.exists:
         # FILTER [NOT] EXISTS — correlation on the SHARED variables:
         # left_semi (EXISTS) / left_anti (NOT EXISTS) with the same
@@ -1782,7 +1941,46 @@ def _compile_group(triples: DataFrame, g: Group) -> DataFrame:
         )
     for f_expr in g.filters:
         acc = acc.filter(_compile_expr(f_expr, set(acc.columns)))
-    return acc
+    return acc, maybe
+
+
+def _minus_join(
+    acc: DataFrame, mdf: DataFrame, mg: Group,
+    l_maybe: set[str], r_maybe: set[str],
+) -> DataFrame:
+    """SPARQL MINUS at its written position. All-bound shared vars
+    (the common case) keep the round-3 null-safe anti-join — every key
+    an equi-key. When a shared var may be unbound on either side
+    (MINUS after an OPTIONAL, or an OPTIONAL/UNDEF inside the MINUS
+    side), the spec's definition applies exactly: remove μ1 when some
+    μ2 is COMPATIBLE (unbound matches anything) AND the domains
+    overlap on at least one var bound in both (dom-overlap guard —
+    without it a μ2 sharing no bound var would wipe the row)."""
+    shared = sorted(
+        c
+        for c in set(acc.columns) & set(mdf.columns)
+        if not c.startswith("__dt_")
+    )
+    if not shared:  # SPARQL MINUS with disjoint domains is a no-op
+        return acc
+    keep = shared + [
+        _dt_shadow(v) for v in shared if _dt_shadow(v) in mdf.columns
+    ]
+    side = broadcast_if_schema_only(mg, mdf.select(keep))
+    if any(v in l_maybe or v in r_maybe for v in shared):
+        compat = _compat_cond(acc.columns, mdf.columns, shared, l_maybe, r_maybe)
+        overlap = F.lit(False)
+        for v in shared:
+            if v not in l_maybe and v not in r_maybe:
+                overlap = F.lit(True)
+                break
+            overlap = overlap | (
+                F.col(f"_l.{v}").isNotNull() & F.col(f"_r.{v}").isNotNull()
+            )
+        cond = compat & overlap
+    else:
+        cond = _boundary_cond(acc.columns, mdf.columns, shared)
+    return acc.alias("_l").join(side.alias("_r"), cond, "left_anti")
 
 
 def broadcast_if_schema_only(g: Group, mdf: DataFrame) -> DataFrame:
@@ -2008,16 +2206,76 @@ def _apply_valexpr(df: DataFrame, var: str, ex) -> DataFrame:
     )
 
 
-def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
+def _compile_subquery(
+    triples: DataFrame, sq: "Query"
+) -> tuple[DataFrame, set[str]]:
+    """A `{ SELECT ... }` subquery member: evaluated independently
+    (bottom-up, per the spec — the enclosing group's bindings do not
+    reach inside), projecting ONLY its selected variables, WITH their
+    datatype shadows, so the projection joins the enclosing group like
+    any other binding set. Aggregate aliases carry the aggregate's
+    result datatype (COUNT → xsd:integer, SUM/AVG → xsd:double,
+    GROUP_CONCAT → plain literal); MIN/MAX/SAMPLE preserve the winning
+    member's own datatype via a struct-agg over (value, dt). Returns
+    (bindings, maybe-unbound vars) — AVG/MIN/MAX/SAMPLE aliases and
+    inner maybe-unbound projections can be NULL."""
+    bound, inner_maybe = _compile_group_ex(triples, sq.group)
+    out_vars = _subquery_vars(sq)
+    if sq.aggs or sq.group_by is not None:
+        df = _select_aggregate(sq, bound, keep_shadows=True)
+        maybe = set()
+        for kind, name in sq.select_items or []:
+            if kind == "agg":
+                a = sq.aggs[name]
+                if a.fn not in ("count", "sum", "group_concat"):
+                    maybe.add(a.alias)
+            elif kind == "var" and name in inner_maybe:
+                maybe.add(name)
+        return df, maybe
+    missing = [v for v in out_vars if v not in bound.columns]
+    if missing:
+        raise ValueError(f"subquery SELECT of unbound variable(s) {missing}")
+    shadows = [
+        _dt_shadow(v) for v in out_vars if _dt_shadow(v) in bound.columns
+    ]
+    out = bound.select(*out_vars, *shadows)
+    if sq.distinct:
+        out = out.distinct()  # shadows participate: term-distinct
+    if sq.order:
+        miss = [v for v, _ in sq.order if v not in out.columns]
+        if miss:
+            raise ValueError(
+                f"subquery ORDER BY on unavailable variable(s) {miss}"
+            )
+        out = out.orderBy(
+            *[F.col(v).desc() if d else F.col(v).asc() for v, d in sq.order]
+        )
+    if sq.offset:
+        out = out.offset(sq.offset)
+    if sq.limit is not None:
+        out = out.limit(sq.limit)
+    return out, {v for v in out_vars if v in inner_maybe}
+
+
+def _select_aggregate(
+    q: Query, bound: DataFrame, keep_shadows: bool = False
+) -> DataFrame:
     """SELECT with aggregates / GROUP BY: grouping is TERM-based (the
     datatype shadows participate in the keys — "5" plain and
     "5"^^xsd:integer are different groups even though both print as
     "5"), then the lexical forms project. COUNT(?v) skips unbound
-    (NULL) rows; COUNT(DISTINCT ?v) counts distinct TERMS; SUM coerces
-    with try_cast double (non-numeric → NULL → ignored); MIN/MAX
-    compare lexical forms (the subset's ordering). A projected plain
-    variable must be grouped (the spec's rule); GROUP BY with no
-    aggregates degenerates to one row per group."""
+    (NULL) rows; COUNT(DISTINCT ?v) counts distinct TERMS; SUM/AVG
+    coerce with try_cast double (non-numeric → NULL → ignored);
+    MIN/MAX compare lexical forms (the subset's ordering). A projected
+    plain variable must be grouped (the spec's rule); GROUP BY with no
+    aggregates degenerates to one row per group.
+
+    keep_shadows (round 6, the subquery path): the output keeps each
+    grouped var's datatype shadow and adds one per aggregate alias
+    (COUNT → xsd:integer, SUM/AVG → xsd:double, GROUP_CONCAT → plain;
+    MIN/MAX/SAMPLE carry the winning member's own datatype via a
+    struct-agg), and aggregate values are cast to their string lexical
+    forms — the engine's binding representation."""
     gb = q.group_by or []
     missing = [v for v in gb if v not in bound.columns]
     if missing:
@@ -2033,6 +2291,10 @@ def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
         keys.append(v)
         if _dt_shadow(v) in bound.columns:
             keys.append(_dt_shadow(v))
+
+    #: aggregates whose winning MEMBER's datatype carries through —
+    #: under keep_shadows they aggregate (value, dt) structs
+    _TERM_AGGS = ("min", "max", "sample")
 
     def agg_col(a: Agg) -> F.Column:
         if a.fn == "count" and a.var is None:
@@ -2061,14 +2323,22 @@ def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
             # all-non-numeric / all-unbound group -> NULL (the spec's
             # error value); numeric coercion identical to SUM
             return F.avg(v.try_cast("double"))
-        if a.fn == "min":
-            return F.min(v)
-        if a.fn == "max":
-            return F.max(v)
-        if a.fn == "sample":
-            # spec: any member; engine: the MINIMUM lexical form, so
-            # results are deterministic (and oracle-checkable)
-            return F.min(v)
+        if a.fn in _TERM_AGGS:
+            if keep_shadows:
+                sh = (
+                    F.col(_dt_shadow(a.var))
+                    if a.var in bound.columns
+                    and _dt_shadow(a.var) in bound.columns
+                    else F.lit(None).cast("string")
+                )
+                # NULL-gated struct: F.min/max skip NULL, matching the
+                # plain form's unbound-skipping; (value, dt) ordering
+                # keeps the VALUE winner identical to the plain form
+                term = F.when(v.isNotNull(), F.struct(v.alias("v"), sh.alias("d")))
+                return F.max(term) if a.fn == "max" else F.min(term)
+            # spec: SAMPLE is any member; engine: the MINIMUM lexical
+            # form, so results are deterministic (and oracle-checkable)
+            return F.max(v) if a.fn == "max" else F.min(v)
         if a.fn == "group_concat":
             # spec leaves member order undefined; the engine
             # canonicalizes ascending (determinism ban on unordered
@@ -2082,6 +2352,27 @@ def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
         grouped = bound.groupBy(*keys).agg(*exprs) if keys else bound.agg(*exprs)
     else:  # GROUP BY with no aggregates: one row per group
         grouped = bound.select(*keys).distinct()
+    if keep_shadows:
+        # unpack term-agg structs and stamp each alias's result
+        # datatype shadow; values become string lexical forms
+        _AGG_DT = {
+            "count": _XSD_NS + "integer",
+            "sum": _XSD_NS + "double",
+            "avg": _XSD_NS + "double",
+            "group_concat": "",
+        }
+        for a in q.aggs:
+            c = F.col(a.alias)
+            if a.fn in _TERM_AGGS:
+                grouped = grouped.withColumn(
+                    _dt_shadow(a.alias), c.getField("d")
+                ).withColumn(a.alias, c.getField("v"))
+            else:
+                dt = F.lit(_AGG_DT[a.fn])
+                grouped = grouped.withColumn(
+                    _dt_shadow(a.alias),
+                    F.when(c.isNotNull(), dt),
+                ).withColumn(a.alias, c.cast("string"))
     if q.having is not None:
         # HAVING filters the grouped solutions; operands are grouped
         # vars and aggregate aliases (numeric columns compare
@@ -2092,6 +2383,10 @@ def _select_aggregate(q: Query, bound: DataFrame) -> DataFrame:
         name if kind == "var" else q.aggs[name].alias
         for kind, name in q.select_items
     ]
+    if keep_shadows:
+        out_cols = out_cols + [
+            _dt_shadow(c) for c in out_cols if _dt_shadow(c) in grouped.columns
+        ]
     if q.order:
         missing = [v for v, _ in q.order if v not in grouped.columns]
         if missing:

@@ -608,10 +608,13 @@ def test_union_datatype_reconciliation(spark):
     assert {(r.s, r.o) for r in sparql(df, q2).collect()} == {("a", "x")}
 
 
-def test_union_mismatched_vars_rejected(spark):
-    df = _triples(spark, [("a", "p", "1", "")])
-    with pytest.raises(ValueError, match="UNION branches must bind"):
-        sparql(df, "SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?w } }").collect()
+def test_union_mismatched_vars(spark):
+    # round 6: branches may bind DIFFERENT variable sets — a var
+    # missing from a branch is unbound (NULL) in that branch's rows
+    df = _triples(spark, [("a", "p", "1", ""), ("b", "q", "2", "")])
+    q = "SELECT ?s ?o ?w WHERE { { ?s <p> ?o } UNION { ?s <q> ?w } }"
+    got = sorted(tuple(r) for r in sparql(df, q).collect())
+    assert got == [("a", "1", None), ("b", None, "2")]
 
 
 def test_union_only_group(spark):
@@ -808,26 +811,41 @@ def test_path_rejected_forms(spark):
         sparql(df, "SELECT ?a WHERE { ?a <p>/?x ?b }")
 
 
-def test_pattern_after_optional_sharing_its_var_rejected(spark):
-    """Round-4 advice: { P1 OPTIONAL {O} P2 } with P2 touching a var
-    only O binds would be compiled under REORDERED semantics — the
-    parser must reject it like other out-of-subset constructs."""
-    df = _triples(spark, VERSION_ROWS)
-    bad = PREFIXES + """SELECT ?x ?w WHERE {
+def test_pattern_after_optional_written_order(spark):
+    """Round 6: { P1 OPTIONAL {O} P2 } evaluates IN WRITTEN ORDER —
+    Join(LeftJoin(P1, O), P2) with SPARQL compatibility: a solution
+    whose optional var stayed unbound is compatible with EVERY P2
+    binding of it (and takes P2's value); a bound one must term-match
+    (the round-4/5 parse-time rejection is gone)."""
+    rows = VERSION_ROWS + [(NS + "part13", RDF + "type", NS + "PNR", None)]
+    df = _triples(spark, rows)
+    q = PREFIXES + """SELECT ?x ?w WHERE {
         ?x a ns1:PNR .
         OPTIONAL { ?x ns1v1:applicable_to ?w }
         ?w a ns1:Variant .
     }"""
-    with pytest.raises(ValueError, match="OPTIONAL"):
-        sparql(df, bad)
-    # MINUS after OPTIONAL touching the optional var: same hazard
-    bad2 = PREFIXES + """SELECT ?x WHERE {
+    got = {(r.x, r.w) for r in sparql(df, q).collect()}
+    assert got == {
+        (NS + "part12", NS + "variantA"),        # bound: must match
+        (NS + "part13", NS + "variantA"),        # unbound: compatible
+        (NS + "part13", NS + "variantB"),        # with every Variant
+    }
+
+
+def test_minus_after_optional_written_order(spark):
+    """MINUS after an OPTIONAL sharing its var: the spec's definition
+    applies — removal needs a compatible solution AND a dom-overlap on
+    a var bound in BOTH, so rows whose optional var stayed unbound
+    survive (they share no bound var with the MINUS side)."""
+    rows = VERSION_ROWS + [(NS + "part13", RDF + "type", NS + "PNR", None)]
+    df = _triples(spark, rows)
+    q = PREFIXES + """SELECT ?x WHERE {
         ?x a ns1:PNR .
         OPTIONAL { ?x ns1v1:applicable_to ?w }
         MINUS { ?w a ns1:Variant }
     }"""
-    with pytest.raises(ValueError, match="OPTIONAL"):
-        sparql(df, bad2)
+    got = {r.x for r in sparql(df, q).collect()}
+    assert got == {NS + "part13"}  # part12's w=variantA is removed
 
 
 def test_pattern_after_optional_disjoint_vars_ok(spark):
@@ -901,18 +919,20 @@ def test_exists_datatype_boundary(spark):
     assert {r.s for r in sparql(df, q).collect()} == {"s2"}
 
 
-def test_minus_before_optional_sharing_var_rejected(spark):
-    """The reverse reorder of the round-5 guard: the compiler applies
-    optionals before minuses, so a MINUS written BEFORE an OPTIONAL
-    that shares its optionally-bound var must be rejected too."""
+def test_minus_before_optional_written_order(spark):
+    """Round 6: a MINUS written BEFORE an OPTIONAL applies at its own
+    position — there ?w is not yet in the domain, so the MINUS is the
+    spec's disjoint-domain no-op, and the OPTIONAL then extends the
+    surviving rows (the ordering DIFFERS from the MINUS-after case:
+    compare test_minus_after_optional_written_order)."""
     df = _triples(spark, VERSION_ROWS)
-    bad = PREFIXES + """SELECT ?x WHERE {
+    q = PREFIXES + """SELECT ?x ?w WHERE {
         ?x a ns1:PNR .
         MINUS { ?w a ns1:Variant }
         OPTIONAL { ?x ns1v1:applicable_to ?w }
     }"""
-    with pytest.raises(ValueError, match="MINUS written before an OPTIONAL"):
-        sparql(df, bad)
+    got = {(r.x, r.w) for r in sparql(df, q).collect()}
+    assert got == {(NS + "part12", NS + "variantA")}
 
 
 # --------------------------------------------- round-5 VALUES / aggregates
@@ -943,8 +963,9 @@ def test_values_multi_var_and_bag_semantics(spark):
     assert sorted((r.s, r.o) for r in sparql(df, q).collect()) == [
         ("s1", "a"), ("s1", "b"), ("s2", "c"),
     ]
-    with pytest.raises(ValueError, match="UNDEF"):
-        sparql(df, 'SELECT ?s WHERE { ?s <p> ?x . VALUES ?x { UNDEF } }')
+    # an all-UNDEF single-var block restricts nothing (round 6)
+    q_undef = 'SELECT ?s WHERE { ?s <p> ?x . VALUES ?x { UNDEF } }'
+    assert sorted(r.s for r in sparql(df, q_undef).collect()) == ["s1", "s1"]
     with pytest.raises(ValueError, match="width"):
         sparql(df, 'SELECT ?s WHERE { ?s ?p ?o . VALUES (?s ?p) { (<s1>) } }')
     with pytest.raises(ValueError, match="duplicate"):
@@ -1058,20 +1079,21 @@ def test_nested_group_merge_keeps_values_and_exists(spark):
     assert {r.s for r in sparql(df, q3).collect()} == {"s1"}
 
 
-def test_values_vars_participate_in_optional_hazard_guard(spark):
-    """Round-5 advice (medium): a variable bound ONLY via VALUES inside
-    an OPTIONAL is optionally bound — a later pattern touching it must
-    be rejected like any other pattern-after-OPTIONAL hazard."""
+def test_values_after_optional_written_order(spark):
+    """Round 6: a VALUES-only OPTIONAL sharing no var with the group
+    is still the cartesian-extension rejection; a VALUES block AFTER
+    an OPTIONAL sharing its var evaluates at its position with
+    compatibility semantics (the unbound side takes the VALUES
+    term)."""
     df = _triples(spark, [("s1", "p", "1", "")])
     q = ('SELECT ?s WHERE { ?s <p> ?x . '
          'OPTIONAL { VALUES ?v { "1" } } ?t <q> ?v }')
     with pytest.raises(ValueError, match="OPTIONAL"):
         sparql(df, q)
-    # and a VALUES block after an OPTIONAL sharing its var is rejected
-    q2 = ('SELECT ?s WHERE { ?s <p> ?x . '
+    q2 = ('SELECT ?s ?v WHERE { ?s <p> ?x . '
           'OPTIONAL { ?s <q> ?v } VALUES ?v { "1" } }')
-    with pytest.raises(ValueError, match="OPTIONAL"):
-        sparql(df, q2)
+    got = [tuple(r) for r in sparql(df, q2).collect()]
+    assert got == [("s1", "1")]  # unbound ?v merged with the VALUES term
 
 
 def test_path_constant_endpoint_pushdown(spark):
@@ -1204,19 +1226,34 @@ def test_bind_string_functions(spark):
 
 def test_bind_rejections(spark):
     df = _triples(spark, [("s1", "v", "1", "")])
-    with pytest.raises(ValueError, match="not bound before"):
+    with pytest.raises(ValueError, match="not bound by any preceding member"):
         sparql(df, "SELECT ?s WHERE { BIND(?y + 1 AS ?n) . ?s <v> ?y }")
     with pytest.raises(ValueError, match="already in scope"):
         sparql(df, "SELECT ?s WHERE { ?s <v> ?x . BIND(1 AS ?x) }")
-    with pytest.raises(ValueError, match="BIND-assigned"):
-        sparql(df, "SELECT ?s WHERE { ?s <v> ?x . BIND(1 AS ?n) . ?s <w> ?n }")
     with pytest.raises(ValueError, match="out of subset"):
         sparql(df, "SELECT (COUNT(?x) AS ?c) (?x + 1 AS ?e) "
                    "WHERE { ?s <v> ?x } GROUP BY ?x")
-    # optionally-bound operand rejected (compile order hazard)
-    with pytest.raises(ValueError, match="not bound before"):
-        sparql(df, "SELECT ?s WHERE { ?s <v> ?x . "
-                   "OPTIONAL { ?s <w> ?o } BIND(?o + 1 AS ?n) }")
+
+
+def test_bind_target_joined_and_optional_operand(spark):
+    """Round 6: a later pattern MAY join on a BIND target (ordered
+    evaluation — the target is a real term by then, term-equality
+    included), and an optionally-bound operand propagates its NULL to
+    an unbound target (the spec's error value)."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    df = _triples(spark, [
+        ("s1", "v", "1", ""),
+        ("s1", "w", "2", XSD_INT),
+        ("s2", "v", "3", ""),
+    ])
+    # BIND produces "2"^^xsd:integer — joins the typed <w> object only
+    q = 'SELECT ?s WHERE { ?s <v> ?x . BIND(1+1 AS ?n) . ?s <w> ?n }'
+    assert {r.s for r in sparql(df, q).collect()} == {"s1"}
+    # optionally-bound operand: NULL propagates to the BIND target
+    q2 = ('SELECT ?s ?n WHERE { ?s <v> ?x . '
+          'OPTIONAL { ?s <w> ?o } BIND(?o + 1 AS ?n) }')
+    got = {(r.s, r.n) for r in sparql(df, q2).collect()}
+    assert got == {("s1", "3"), ("s2", None)}
 
 
 def test_select_expressions(spark):
@@ -1252,3 +1289,108 @@ def test_aggregates_avg_sample_group_concat(spark):
     assert got2 == [("p:1", "a,b,b", "a b", "a")]
     with pytest.raises(ValueError, match="SEPARATOR"):
         sparql(df, 'SELECT (SUM(?x; SEPARATOR=",") AS ?s) WHERE { ?s <v> ?x }')
+
+
+# ------------------------------------------------- round-6 subqueries / UNDEF
+def test_subquery_aggregate_join(spark):
+    """{ SELECT ... GROUP BY } evaluates bottom-up; its projection
+    joins the enclosing group on the shared vars. COUNT aliases carry
+    xsd:integer terms (a typed-literal comparand in an outer FILTER
+    reads them numerically)."""
+    df = _triples(spark, VERSION_ROWS)
+    q = PREFIXES + """SELECT ?x ?n WHERE {
+        ?x a ns1:PNR .
+        { SELECT ?x (COUNT(?w) AS ?n)
+          WHERE { ?x ns1v2:applicable_to ?w } GROUP BY ?x }
+    }"""
+    got = {(r.x, r.n) for r in sparql(df, q).collect()}
+    assert got == {(NS + "part12", "2")}
+    # outer FILTER over the subquery alias, numeric promotion
+    q2 = PREFIXES + """SELECT ?x WHERE {
+        ?x a ns1:PNR .
+        { SELECT ?x (COUNT(?w) AS ?n)
+          WHERE { ?x ns1v2:applicable_to ?w } GROUP BY ?x }
+        FILTER(?n > 1)
+    }"""
+    assert {r.x for r in sparql(df, q2).collect()} == {NS + "part12"}
+
+
+def test_subquery_plain_distinct_limit(spark):
+    """Plain SELECT DISTINCT subquery with ORDER BY / LIMIT: top-k
+    computed independently, then joined."""
+    rows = [
+        ("s1", "p", "b", None), ("s2", "p", "a", None),
+        ("s3", "p", "c", None), ("s2b", "p", "a", None),
+    ]
+    df = _triples(spark, rows)
+    q = """SELECT ?s ?o WHERE {
+        ?s <p> ?o .
+        { SELECT DISTINCT ?o WHERE { ?x <p> ?o } ORDER BY ?o LIMIT 2 }
+    }"""
+    got = {(r.s, r.o) for r in sparql(df, q).collect()}
+    assert got == {("s1", "b"), ("s2", "a"), ("s2b", "a")}
+
+
+def test_subquery_min_preserves_term_datatype(spark):
+    """MIN/SAMPLE inside a subquery carry the winning member's OWN
+    datatype out (struct-agg), so the outer join stays term-exact."""
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    df = _triples(spark, [
+        ("s1", "p", "5", XSD_INT),   # typed 5
+        ("s2", "p", "5", ""),        # plain 5 — different term
+        ("s1", "q", "5", XSD_INT),
+        ("s2", "q", "5", XSD_INT),
+    ])
+    # the subquery min over s1's <p> objects is "5"^^xsd:integer; the
+    # outer pattern ?s <q> ?m matches both subjects' typed objects
+    q = """SELECT ?s ?m WHERE {
+        ?s <q> ?m .
+        { SELECT (MIN(?v) AS ?m) WHERE { <s1> <p> ?v } }
+    }"""
+    got = {(r.s, r.m) for r in sparql(df, q).collect()}
+    assert got == {("s1", "5"), ("s2", "5")}
+    # flip the inner subject: plain "5" matches NO typed <q> object
+    q2 = """SELECT ?s ?m WHERE {
+        ?s <q> ?m .
+        { SELECT (MIN(?v) AS ?m) WHERE { <s2> <p> ?v } }
+    }"""
+    assert sparql(df, q2).count() == 0
+
+
+def test_values_undef(spark):
+    """UNDEF rows leave the var unbound — compatible with ANY binding
+    (round 6); term-exact where bound."""
+    df = _triples(spark, [
+        ("a", "p", "x", None), ("b", "p", "y", None), ("c", "p", "z", None),
+    ])
+    q = """SELECT ?s ?o WHERE {
+        ?s <p> ?o .
+        VALUES (?s ?o) { (<a> UNDEF) (UNDEF <y>) }
+    }"""
+    got = sorted(tuple(r) for r in sparql(df, q).collect())
+    assert got == [("a", "x"), ("b", "y")]
+    # VALUES first, pattern after: same result (ordered evaluation)
+    q2 = """SELECT ?s ?o WHERE {
+        VALUES (?s ?o) { (<a> UNDEF) (UNDEF <y>) }
+        ?s <p> ?o .
+    }"""
+    assert sorted(tuple(r) for r in sparql(df, q2).collect()) == got
+
+
+def test_nested_group_merge_preserves_member_order(spark):
+    """A braced non-UNION group splices its members at its POSITION:
+    { P1 { OPTIONAL-bearing inner } P2 } must evaluate inner's
+    OPTIONAL before P2 (round 6 ordered merge)."""
+    rows = VERSION_ROWS + [(NS + "part13", RDF + "type", NS + "PNR", None)]
+    df = _triples(spark, rows)
+    q = PREFIXES + """SELECT ?x ?w WHERE {
+        ?x a ns1:PNR .
+        { OPTIONAL { ?x ns1v1:applicable_to ?w } }
+        ?w a ns1:Variant .
+    }"""
+    got = {(r.x, r.w) for r in sparql(df, q).collect()}
+    assert got == {
+        (NS + "part12", NS + "variantA"),
+        (NS + "part13", NS + "variantA"),
+        (NS + "part13", NS + "variantB"),
+    }
