@@ -1076,6 +1076,77 @@ def q_kg_sparql_path_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
 
 
+def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery (round-6): `{ SELECT ?x (COUNT(?z) AS ?n) ...
+    GROUP BY ?x }` over the subPropertyOf-inferred link set, joined at
+    its written position with the outer v01 pattern — the standard
+    "aggregate then join back" shape. The subquery evaluates
+    bottom-up (the outer bindings do not reach inside); its aggregate
+    alias projects the lexical form ("3" for the even-key parts that
+    still carry the superseded v01 link)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    prefix ns1: <{DOMAIN}>
+    prefix ns1v1: <{_SPARQL_V1}>
+    SELECT ?x ?w ?n
+    WHERE {{
+        {{ SELECT ?x (COUNT(?z) AS ?n)
+           WHERE {{ ?x ?p ?z . ?p rdfs:subPropertyOf ns1:applicable_to }}
+           GROUP BY ?x }}
+        ?x ns1v1:applicable_to ?w .
+    }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_optional_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware OPTIONAL (round-6): a pattern WRITTEN AFTER an
+    OPTIONAL that shares the optionally-bound ?w — the exact shape the
+    round-4 guard rejected. The group compiles in written order
+    (TranslateGroupGraphPattern): the later pattern joins the
+    accumulated solutions under SPARQL compatibility semantics, so an
+    unbound ?w (odd parts, no v01 link) matches ANY v02 object and
+    takes the pattern's binding, while a bound ?w (even parts,
+    w=brand) must term-match."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1v1: <{_SPARQL_V1}>
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT ?x ?z ?w
+    WHERE {{
+        ?x ns1v2:applicable_to ?z .
+        OPTIONAL {{ ?x ns1v1:applicable_to ?w }}
+        ?x ns1v2:applicable_to ?w .
+    }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES with UNDEF (round-6): an UNDEF row is an unbound binding
+    that matches EVERY solution under the compatibility join, while
+    the "3"^^xsd:integer row matches term-exactly — bag semantics, so
+    version-3 parts appear twice (once per compatible VALUES row)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_vernum_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    prefix xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?s ?v
+    WHERE {{
+        ?s ns1:vernum ?v .
+        VALUES ?v {{ "3"^^xsd:integer UNDEF }}
+    }}
+    """
+    return sparql(triples, q)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_melt_part": q_kg_melt_part,
@@ -1130,6 +1201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_agg_having": q_kg_sparql_agg_having,
         "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_optional_order": q_kg_sparql_optional_order,
+        "kg_sparql_values_undef": q_kg_sparql_values_undef,
     }
 
 
@@ -2105,6 +2179,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst AS n FROM closure WHERE src = '{_D}C5'
             UNION ALL
             SELECT src AS n FROM closure WHERE dst = '{_D}C5'
+        """,
+        "kg_sparql_subquery": f"""
+            WITH links AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}BR_' || translate(p_brand, '# ', '__')
+              FROM part WHERE p_partkey % 2 = 0
+            ),
+            counts AS (
+              SELECT x, CAST(COUNT(z) AS VARCHAR) AS n
+              FROM links GROUP BY x
+            ),
+            v1 AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS w
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT counts.x AS x, v1.w AS w, counts.n AS n
+            FROM counts JOIN v1 ON v1.x = counts.x
+        """,
+        "kg_sparql_optional_order": f"""
+            WITH v2 AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS obj
+              FROM part
+              UNION ALL
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                     '{_D}TY_' || translate(p_type, '# ', '__')
+              FROM part
+            ),
+            v1 AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                     '{_D}BR_' || translate(p_brand, '# ', '__') AS w
+              FROM part WHERE p_partkey % 2 = 0
+            )
+            -- written order: v2 pattern, LEFT JOIN the OPTIONAL, then
+            -- the third pattern joins COMPATIBLY (unbound w matches
+            -- any v2 object, bound w must equal it)
+            SELECT a.x AS x, a.obj AS z, COALESCE(v1.w, b.obj) AS w
+            FROM v2 a
+            LEFT JOIN v1 ON v1.x = a.x
+            JOIN v2 b ON b.x = a.x AND (v1.w IS NULL OR b.obj = v1.w)
+        """,
+        "kg_sparql_values_undef": f"""
+            WITH vern AS (
+              SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
+                     CAST(p_partkey % 13 AS VARCHAR) AS v
+              FROM part
+            )
+            SELECT s, v FROM vern            -- UNDEF row: compatible
+            UNION ALL                        -- with every solution
+            SELECT s, v FROM vern WHERE v = '3'
         """,
         "kg_sparql_path_alt": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,

@@ -45,13 +45,22 @@ straight to Catalyst plans:
                      | VALUES (?v ...) { (term ...) ... }   (inline
                        bindings: a broadcast local relation joined in
                        datatype-reconciled, bag semantics; bare
-                       numbers carry xsd:integer/xsd:decimal; UNDEF is
-                       out of subset)
+                       numbers carry xsd:integer/xsd:decimal; UNDEF
+                       (round 6) is an unbound binding — it matches
+                       anything under the compatibility join)
+                     | { SELECT ... }   (subquery, round 6: evaluated
+                       bottom-up per the spec — the enclosing group's
+                       bindings do not reach inside; only the
+                       projected variables join the enclosing group,
+                       with their datatype shadows; aggregate aliases
+                       carry the aggregate's result datatype)
                      | BIND(valexpr AS ?v)   (fresh target; operands
                        must be bound by PRECEDING members — forward /
                        optional-only references rejected; a later
-                       pattern may not join on a BIND target, but
-                       FILTER / OPTIONAL / MINUS / EXISTS may use it.
+                       pattern MAY join on a BIND target (ordered
+                       evaluation — the target is a real term by
+                       then); FILTER / OPTIONAL / MINUS / EXISTS may
+                       use it too.
                        valexpr := arithmetic + - * / over numeric
                        terms (int×int stays xsd:integer via try_add
                        family, otherwise xsd:double; plain literals
@@ -83,19 +92,25 @@ straight to Catalyst plans:
             so the anti-join itself is a sort-merge join by design
             (AQE demotes it to broadcast at runtime when it is small).
             OPTIONAL compiles to a LEFT OUTER join on the shared
-            variables (null-safe, datatype-reconciled like MINUS);
-            within a group, optionals apply after the group's own
-            patterns, then MINUS, then FILTER. An OPTIONAL sharing no
-            variable with the group is out of subset (rejected).
+            variables (null-safe, datatype-reconciled like MINUS). A
+            group's members compile IN WRITTEN ORDER (round 6, the
+            spec's sequential TranslateGroupGraphPattern): each
+            pattern / UNION / VALUES / BIND / subquery Joins, each
+            OPTIONAL LeftJoins, each MINUS Minuses the accumulated
+            solution set at its own position; FILTER and FILTER
+            [NOT] EXISTS stay group-scoped (applied once, at the
+            end, per the spec). An OPTIONAL sharing no variable with
+            the already-accumulated group is out of subset (rejected;
+            it would be a cartesian extension).
             UNION compiles each branch independently and unions the
-            solution bags (duplicates kept, per spec); branches must
-            bind the SAME variable set (the subset's restriction —
-            SPARQL's unbound-is-compatible join semantics for
-            partially-overlapping branches is not expressible as a
-            plain equi-join). Datatype shadows align across branches
-            (a branch that bound a var IRI-only contributes NULL
-            shadows, which IS the IRI tag). The unioned block joins
-            the rest of the group datatype-reconciled like MINUS.
+            solution bags (duplicates kept, per spec); branches MAY
+            bind different variable sets (round 6) — a var missing
+            from a branch is unbound (NULL) in that branch's
+            solutions and joins the maybe-unbound set. Datatype
+            shadows align across branches (a branch that bound a var
+            IRI-only contributes NULL shadows, which IS the IRI tag).
+            The unioned block joins the rest of the group
+            datatype-reconciled like MINUS.
             FILTER comparisons follow SPARQL operator-mapping as far
             as the subset carries types: when both operands are
             numeric — a bare numeric constant, a literal typed with a
@@ -109,16 +124,20 @@ straight to Catalyst plans:
             doesn't parse is a SPARQL type error: the row is dropped
             (try_cast -> NULL -> filter false).
 
-Solution compatibility after OPTIONAL: an unbound variable is
-represented as NULL and compares null-safely in later joins and MINUS
-boundaries (NULL matches only NULL) — stricter than SPARQL's
-unbound-is-compatible rule. A triple pattern, UNION block, nested
-group or MINUS written AFTER an OPTIONAL that touches one of the
-OPTIONAL's optionally-bound variables is out of subset and REJECTED at
-parse time (round-4 advice: the compiler reorders such patterns before
-the OPTIONAL, which changes semantics — the parser used to silently
-accept them). Chained OPTIONALs keep the documented null-safe
-semantics.
+Solution compatibility after OPTIONAL (round 6): an unbound variable
+is represented as NULL. The compiler tracks which variables MAY be
+unbound (OPTIONAL extensions, UNDEF VALUES rows, BIND targets whose
+operands may error, UNION vars missing from a branch, nullable
+aggregate aliases) and joins them under SPARQL's compatibility rule —
+unbound matches anything, and the merged solution takes the bound
+side's term. Certainly-bound variables keep fast null-safe equality,
+so the common all-bound query still plans hash joins on every key;
+only the genuinely maybe-unbound vars fall out of the equi-key set.
+MINUS over maybe-unbound shared vars applies the spec's definition
+exactly (compatible AND domains overlap on a var bound in both). The
+one remaining divergence: FILTER [NOT] EXISTS correlation through a
+maybe-unbound var stays null-safe (NULL matches only NULL), stricter
+than the spec's substitution semantics.
 
 RDF term typing rides along: a variable bound in object position
 carries a hidden `<var>__dt` column (None = IRI, '' = plain literal,
@@ -1000,9 +1019,10 @@ class _Parser:
     # -- VALUES --------------------------------------------------------
     def _values_block(self) -> tuple[list[str], list[list[Term]]]:
         """`VALUES ?v { t ... }` or `VALUES (?v ...) { (t ...) ... }`.
-        Terms are IRIs/pnames, (typed) literals, or bare numbers
+        Terms are IRIs/pnames, (typed) literals, bare numbers
         (which carry xsd:integer / xsd:decimal datatypes, the spec's
-        numeric-literal mapping); UNDEF is out of subset."""
+        numeric-literal mapping), or UNDEF (round 6: an unbound
+        binding, None in the row)."""
         if self.at("var"):
             vars_ = [self.next()[1]]
             self.expect("op", "{")
