@@ -29,7 +29,7 @@ straight to Catalyst plans:
                      `a` == rdf:type; predicate position takes a
                      property path over constant predicates:
                      p := seq ('|' seq)*; seq := elt ('/' elt)*;
-                     elt := '^' elt | prim ('+'|'*')?;
+                     elt := '^' elt | prim ('+'|'*'|'?')?;
                      prim := iri | 'a' | '(p)'
                      — `^` inverts IRI-object steps (literal-object
                      triples cannot invert in-subset);
@@ -66,10 +66,16 @@ straight to Catalyst plans:
                        family, otherwise xsd:double; plain literals
                        with numeric lexical forms promote, matching
                        the FILTER subset) | CONCAT | STR | STRLEN |
-                       UCASE | LCASE | ?var | term)
+                       UCASE | LCASE | SUBSTR(src, start[, len],
+                       1-based) | REPLACE(arg, "pat", "rep"[,
+                       "flags"]) | COALESCE(e...) — first bound arg,
+                       carrying its datatype | IF(boolean-expr, then,
+                       else) — condition uses the FILTER grammar;
+                       error condition → unbound | ?var | term)
                      | { group } UNION { group } (UNION ...)*
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
-                     BOUND(?v), REGEX(?v, "pat"[, "flags"]); operands
+                     BOUND(?v), REGEX(?v, "pat"[, "flags"]),
+                     STRSTARTS/STRENDS/CONTAINS(term, term); operands
                      are ?vars, IRIs/pnames, "literals", numbers
 
   compile   each triple pattern -> a scan of the triple table with the
@@ -223,6 +229,19 @@ class PathStar:
 
 
 @dataclass(frozen=True)
+class PathOpt:
+    """`elt?` — zero-or-one (round 6): the element's single-step pairs
+    plus zero-length identity, SET semantics (the spec's ZeroOrOnePath
+    is duplicate-free). Identity follows PathStar's subset rule: the
+    graph's IRI node domain for variable endpoints, the constant term
+    itself (even when absent from the graph) for a constant endpoint
+    under a TOP-LEVEL `?`. Tokenizer note: `?` directly followed by a
+    name is a variable (longest-match, `<p>?y` = plain predicate +
+    var), so write `<p>? ?y` for the path form."""
+    elt: "PathExpr"
+
+
+@dataclass(frozen=True)
 class PathInv:
     """`^elt` — inverse path: (s, ^p, o) ⇔ (o, p, s). Subset
     restriction: only IRI-object steps invert (a literal-object triple
@@ -247,8 +266,8 @@ class PathAlt:
     alts: tuple
 
 
-PathExpr = Iri | PathPlus | PathStar | PathSeq | PathAlt | PathInv
-PATH_TYPES = (PathPlus, PathStar, PathSeq, PathAlt, PathInv)
+PathExpr = Iri | PathPlus | PathStar | PathOpt | PathSeq | PathAlt | PathInv
+PATH_TYPES = (PathPlus, PathStar, PathOpt, PathSeq, PathAlt, PathInv)
 
 Term = Var | Iri | Lit
 
@@ -363,8 +382,11 @@ class Arith:
 class FnCall:
     """String builtins of the subset: CONCAT (plain-literal result,
     NULL-propagating like the spec's error rule), STR (lexical form of
-    any term, plain), STRLEN (xsd:integer), UCASE / LCASE (plain)."""
-    fn: str  # concat | str | strlen | ucase | lcase
+    any term, plain), STRLEN (xsd:integer), UCASE / LCASE / SUBSTR /
+    REPLACE (plain), COALESCE (first bound argument, carrying its own
+    datatype), IF (condition = a FILTER-grammar boolean expression;
+    an error condition leaves the result unbound)."""
+    fn: str  # concat|str|strlen|ucase|lcase|substr|replace|coalesce|if
     args: tuple
 
 
@@ -388,7 +410,7 @@ _TOKEN = re.compile(
       # PN_LOCAL may CONTAIN dots but not end with one — a trailing
       # '.' is the triple terminator (`... ns1:Variant. }`)
     | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*+|/^])
+    | (?P<op><=|>=|!=|\|\||&&|[{}().;,=<>!*+|/^?])
     """,
     re.VERBOSE,
 )
@@ -531,13 +553,17 @@ def _subquery_vars(sq: "Query") -> list[str]:
 
 
 def _valexpr_vars(e) -> set[str]:
-    """Variables a value expression reads."""
+    """Variables a value expression reads — including the boolean
+    condition of IF(expr, then, else), whose nodes come from the
+    FILTER grammar (Cmp/BoolOp/Not/Call)."""
     if isinstance(e, Var):
         return {e.name}
-    if isinstance(e, Arith):
+    if isinstance(e, (Arith, Cmp)):
         return _valexpr_vars(e.left) | _valexpr_vars(e.right)
-    if isinstance(e, FnCall):
+    if isinstance(e, (FnCall, BoolOp, Call)):
         return set().union(*(_valexpr_vars(a) for a in e.args)) if e.args else set()
+    if isinstance(e, Not):
+        return _valexpr_vars(e.arg)
     return set()
 
 
@@ -1084,8 +1110,23 @@ class _Parser:
     #   mul     := prim (('*'|'/') prim)*
     #   prim    := '(' valexpr ')' | FN '(' valexpr (',' valexpr)* ')'
     #            | ?var | iri | pname | "lit"[^^dt] | number
-    #   FN ∈ CONCAT | STR | STRLEN | UCASE | LCASE
-    _VAL_FNS = {"concat": None, "str": 1, "strlen": 1, "ucase": 1, "lcase": 1}
+    #   FN ∈ CONCAT | STR | STRLEN | UCASE | LCASE | SUBSTR | REPLACE
+    #        | COALESCE | IF   (IF's first argument is a BOOLEAN
+    #        expression — the FILTER grammar — not a value expression)
+    _VAL_FNS = {
+        "concat": None, "str": 1, "strlen": 1, "ucase": 1, "lcase": 1,
+        "substr": None, "replace": None, "coalesce": None,
+    }
+
+    def _val_if(self):
+        self.expect("op", "(")
+        cond = self._expr()
+        self.expect("op", ",")
+        then = self._val_expr()
+        self.expect("op", ",")
+        els = self._val_expr()
+        self.expect("op", ")")
+        return FnCall("if", (cond, then, els))
 
     def _val_expr(self):
         e = self._val_mul()
@@ -1121,6 +1162,9 @@ class _Parser:
             self.expect("op", ")")
             return e
         k, v = self.peek()
+        if k == "word" and v.lower() == "if":
+            self.next()
+            return self._val_if()
         if k == "word" and v.lower() in self._VAL_FNS:
             self.next()
             self.expect("op", "(")
@@ -1133,6 +1177,16 @@ class _Parser:
             arity = self._VAL_FNS[fn]
             if arity is not None and len(args) != arity:
                 raise ValueError(f"{fn.upper()} takes {arity} argument(s)")
+            if fn == "substr" and len(args) not in (2, 3):
+                raise ValueError("SUBSTR takes (source, start[, length])")
+            if fn == "replace":
+                if len(args) not in (3, 4):
+                    raise ValueError(
+                        'REPLACE takes (arg, "pattern", "replacement"'
+                        '[, "flags"])'
+                    )
+                if len(args) == 4 and not isinstance(args[3], Lit):
+                    raise ValueError("REPLACE flags must be a literal")
             return FnCall(fn, tuple(args))
         k, v = self.next()
         if k == "var":
@@ -1162,7 +1216,7 @@ class _Parser:
     # SPARQL Path grammar, the constant-predicate subset:
     #   Path         := PathSequence ('|' PathSequence)*
     #   PathSequence := PathElt ('/' PathElt)*
-    #   PathElt      := PathPrimary ('+' | '*')?
+    #   PathElt      := PathPrimary ('+' | '*' | '?')?
     #   PathPrimary  := iri | pname | 'a' | '(' Path ')'
     def _path(self):
         alts = [self._path_seq()]
@@ -1189,6 +1243,9 @@ class _Parser:
         if self.at("op", "*"):
             self.next()
             return PathStar(prim)
+        if self.at("op", "?"):
+            self.next()
+            return PathOpt(prim)
         return prim
 
     def _path_primary(self):
@@ -1231,7 +1288,9 @@ class _Parser:
             self.expect("op", ")")
             return e
         k, v = self.peek()
-        if k == "word" and v.lower() in ("bound", "regex"):
+        if k == "word" and v.lower() in (
+            "bound", "regex", "strstarts", "strends", "contains"
+        ):
             self.next()
             self.expect("op", "(")
             args = [self._operand()]
@@ -1250,6 +1309,8 @@ class _Parser:
                         'REGEX takes (term, "pattern"[, "flags"]) with '
                         "literal pattern/flags"
                     )
+            if fn in ("strstarts", "strends", "contains") and len(args) != 2:
+                raise ValueError(f"{fn.upper()} takes exactly two arguments")
             return Call(fn, tuple(args))
         left = self._operand()
         k, v = self.peek()
@@ -1258,7 +1319,13 @@ class _Parser:
             return Cmp(v, left, self._operand())
         raise ValueError("bare term is not a boolean filter")
 
-    def _operand(self) -> Term | float:
+    def _operand(self) -> object:
+        k, v = self.peek()
+        if k == "word" and (v.lower() in self._VAL_FNS or v.lower() == "if"):
+            # value-function call as a comparison operand (round 6):
+            # FILTER(STRLEN(?x) > 6) and friends — compiled via the
+            # valexpr machinery, numericity from its result datatype
+            return self._val_prim()
         k, v = self.next()
         if k == "var":
             return Var(v)
@@ -1314,7 +1381,7 @@ def _path_preds(path) -> set[str]:
     """Constant predicate IRIs a path expression touches."""
     if isinstance(path, Iri):
         return {path.value}
-    if isinstance(path, (PathPlus, PathStar, PathInv)):
+    if isinstance(path, (PathPlus, PathStar, PathOpt, PathInv)):
         return _path_preds(path.elt)
     if isinstance(path, PathSeq):
         return set().union(*(_path_preds(e) for e in path.elts))
@@ -1425,6 +1492,12 @@ def _path_df(triples: DataFrame, path) -> DataFrame:
             .unionByName(_node_domain(triples))
             .distinct()
         )
+    if isinstance(path, PathOpt):
+        return (
+            _path_df(triples, path.elt)
+            .unionByName(_node_domain(triples))
+            .distinct()
+        )
     raise ValueError(f"unknown path node {path!r}")
 
 
@@ -1522,18 +1595,35 @@ def _compile_path_pattern(
     ordinary pattern. Object vars carry the final step's datatype as
     their shadow (a path CAN end at a literal); subject-position
     literals never match (RDF has no literal subjects). For a
-    top-level `*`, a constant endpoint contributes its zero-length
-    (X, X) solution even when X is absent from the graph (spec:
-    zero-length paths match the term itself); constant endpoints
-    absent from the graph under a star NESTED in a longer path are out
-    of subset (the nested star's identity ranges over the graph node
-    domain only)."""
+    top-level `*` or `?`, a constant endpoint contributes its
+    zero-length (X, X) solution even when X is absent from the graph
+    (spec: zero-length paths match the term itself) — and for `?` the
+    constant case skips the node-domain enumeration entirely;
+    constant endpoints absent from the graph under a star NESTED in a
+    longer path are out of subset (the nested star's identity ranges
+    over the graph node domain only)."""
     s, p, o = pat
     df = None
     if isinstance(p, (PathPlus, PathStar)):
         # constant-endpoint pushdown (round-5 verdict #1): evaluate
         # seed-first when a const IRI endpoint bounds the closure
         df = _seeded_path_df(triples, p, s, o)
+    if df is None and isinstance(p, PathOpt) and (
+        isinstance(s, Iri) or isinstance(o, Iri)
+    ):
+        # zero-or-one with a constant IRI endpoint (round 6): the
+        # zero-length solution is the constant itself — skip the
+        # table-wide node-domain distinct entirely; the single-step
+        # side is one pushed-down scan, filtered by bind() below
+        from kgforge.session import local_df
+
+        consts = sorted({t.value for t in (s, o) if isinstance(t, Iri)})
+        identity = local_df(
+            triples.sparkSession,
+            [(v, v, None) for v in consts],
+            "src string, dst string, dst_dt string",
+        )
+        df = _path_df(triples, p.elt).unionByName(identity).distinct()
     if df is None:
         df = _path_df(triples, p)
         if isinstance(p, PathStar):
@@ -2025,7 +2115,9 @@ _NUMERIC_DTS = frozenset(
 )
 
 
-def _operand_col(x: Term | float, cols: set[str] | None = None) -> F.Column:
+def _operand_col(x, cols: set[str] | None = None) -> F.Column:
+    if isinstance(x, (FnCall, Arith)):
+        return _compile_valexpr(x, cols or set())[0]
     if isinstance(x, Var):
         if cols is not None and x.name not in cols:
             # a variable with no binding column is unbound everywhere:
@@ -2048,6 +2140,10 @@ def _operand_numeric(x: Term | float, cols: set[str]):
     with no shadow bound an IRI — never numeric)."""
     if isinstance(x, float):
         return F.lit(True), True
+    if isinstance(x, (FnCall, Arith)):
+        # numericity rides the expression's result datatype per row
+        dt = _compile_valexpr(x, cols)[1]
+        return F.coalesce(dt.isin(*sorted(_NUMERIC_DTS)), F.lit(False)), None
     if isinstance(x, Lit):
         is_num = x.dt in _NUMERIC_DTS
         return F.lit(is_num), is_num
@@ -2111,6 +2207,17 @@ def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
             if "i" in flags:  # the one XPath flag the subset carries
                 pat = "(?i)" + pat
             return target.rlike(pat)
+        if e.fn in ("strstarts", "strends", "contains"):
+            # string predicates over lexical forms (round 6); a NULL
+            # (unbound) operand is a SPARQL type error → NULL → row
+            # dropped, same rule as comparisons
+            a = _operand_col(e.args[0], cols)
+            b = _operand_col(e.args[1], cols)
+            if e.fn == "strstarts":
+                return a.startswith(b)
+            if e.fn == "strends":
+                return a.endswith(b)
+            return a.contains(b)
         raise ValueError(f"unknown function {e.fn!r}")
     raise ValueError(f"unknown expr {e!r}")
 
@@ -2196,8 +2303,40 @@ def _compile_valexpr(e, cols: set[str]) -> tuple[F.Column, F.Column]:
         )
         return value, dt
     if isinstance(e, FnCall):
-        vals = [_compile_valexpr(a, cols)[0] for a in e.args]
         plain = F.lit("")
+        if e.fn == "if":
+            # IF(boolean-expr, then, else) — an error (NULL) condition
+            # propagates: neither branch, result unbound (spec rule)
+            cond = _compile_expr(e.args[0], cols)
+            tv, td = _compile_valexpr(e.args[1], cols)
+            ev, ed = _compile_valexpr(e.args[2], cols)
+            return F.when(cond, tv).when(~cond, ev), (
+                F.when(cond, td).when(~cond, ed)
+            )
+        if e.fn == "coalesce":
+            # first BOUND argument wins, carrying its own datatype
+            pairs = [_compile_valexpr(a, cols) for a in e.args]
+            value = F.coalesce(*(p[0] for p in pairs))
+            dt = F.lit(None).cast("string")
+            for v, d in reversed(pairs):
+                dt = F.when(v.isNotNull(), d).otherwise(dt)
+            return value, dt
+        vals = [_compile_valexpr(a, cols)[0] for a in e.args]
+        if e.fn == "substr":
+            # SPARQL/XPath 1-based positions; non-integer start/length
+            # → type error → unbound (try_cast NULL propagates)
+            src, pos = vals[0], vals[1].try_cast("int")
+            ln = (
+                vals[2].try_cast("int") if len(vals) == 3
+                else F.length(src)
+            )
+            return src.substr(pos, ln), plain
+        if e.fn == "replace":
+            pat = vals[1]
+            flags = e.args[3].value if len(e.args) == 4 else ""
+            if "i" in flags:  # same XPath-flag subset as REGEX
+                pat = F.concat(F.lit("(?i)"), pat)
+            return F.regexp_replace(vals[0], pat, vals[2]), plain
         if e.fn == "concat":
             # NULL-propagating, per the spec's error rule (an unbound
             # operand makes the result unbound)

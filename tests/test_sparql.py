@@ -1394,3 +1394,101 @@ def test_nested_group_merge_preserves_member_order(spark):
         (NS + "part13", NS + "variantA"),
         (NS + "part13", NS + "variantB"),
     }
+
+
+def test_path_zero_or_one(spark):
+    """`p?` (round 6): single step ∪ zero-length identity — node
+    domain for variable endpoints, the constant itself (even absent
+    from the graph) for a constant endpoint; `<p>?y` without a space
+    stays predicate + variable (longest-match tokenization)."""
+    df = _triples(spark, [
+        ("a", "p", "b", None), ("b", "p", "c", None), ("c", "q", "lit", ""),
+    ])
+    got = sorted(tuple(r) for r in sparql(
+        df, "SELECT ?x ?y WHERE { ?x <p>? ?y }").collect())
+    assert got == [("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"), ("c", "c")]
+    # constant endpoints: zero-length solution without the node-domain
+    # scan; an absent constant still contributes (X, X)
+    assert sorted(tuple(r) for r in sparql(
+        df, "SELECT ?y WHERE { <a> <p>? ?y }").collect()) == [("a",), ("b",)]
+    assert [tuple(r) for r in sparql(
+        df, "SELECT ?y WHERE { <zzz> <p>? ?y }").collect()] == [("zzz",)]
+    assert sorted(tuple(r) for r in sparql(
+        df, "SELECT ?x WHERE { ?x <p>? <c> }").collect()) == [("b",), ("c",)]
+    # longest-match: `<p>?y` is a plain predicate + object variable
+    assert sorted(tuple(r) for r in sparql(
+        df, "SELECT ?x ?y WHERE { ?x <p>?y }").collect()) == [
+        ("a", "b"), ("b", "c")]
+    # nested in a sequence: identity over the node domain
+    assert sorted(tuple(r) for r in sparql(
+        df, "SELECT ?x ?y WHERE { ?x <p>/<q>? ?y }").collect()) == [
+        ("a", "b"), ("b", "c"), ("b", "lit")]
+
+
+def test_string_predicates_in_filter(spark):
+    """STRSTARTS / STRENDS / CONTAINS (round 6) over lexical forms; an
+    unbound operand is a type error (row dropped)."""
+    df = _triples(spark, [
+        ("s1", "v", "hello world", ""), ("s2", "v", "goodbye", ""),
+        ("s3", "w", "other", ""),
+    ])
+    q = 'SELECT ?s WHERE { ?s <v> ?x . FILTER(%s) }'
+    assert [tuple(r) for r in sparql(
+        df, q % 'STRSTARTS(?x, "hell")').collect()] == [("s1",)]
+    assert [tuple(r) for r in sparql(
+        df, q % 'STRENDS(?x, "bye")').collect()] == [("s2",)]
+    assert [tuple(r) for r in sparql(
+        df, q % 'CONTAINS(?x, "o w")').collect()] == [("s1",)]
+    # unbound operand -> type error -> dropped, incl. under negation
+    q2 = ('SELECT ?s WHERE { ?s <w> ?o . OPTIONAL { ?s <v> ?x } '
+          'FILTER(!CONTAINS(?x, "z")) }')
+    assert sparql(df, q2).count() == 0
+    # value function as a comparison operand
+    assert sorted(tuple(r) for r in sparql(
+        df, q % "STRLEN(?x) > 6").collect()) == [("s1",), ("s2",)]
+
+
+def test_value_functions_substr_replace_if_coalesce(spark):
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    df = _triples(spark, [
+        ("s1", "v", "hello world", ""), ("s2", "v", "goodbye", ""),
+        ("s3", "n", "42", XSD_INT), ("s3", "v", "Hello", ""),
+    ])
+
+    def rows(q):
+        return sorted(tuple(r) for r in sparql(df, q).collect())
+
+    base = "SELECT ?s ?u WHERE { ?s <v> ?x . BIND(%s AS ?u) }"
+    assert rows(base % 'SUBSTR(?x, 1, 4)') == [
+        ("s1", "hell"), ("s2", "good"), ("s3", "Hell")]
+    # 2-arg SUBSTR runs to the end; past-the-end start -> empty string
+    assert rows(base % 'SUBSTR(?x, 7)') == [
+        ("s1", "world"), ("s2", "e"), ("s3", "")]
+    assert rows(base % 'REPLACE(?x, "o", "0")') == [
+        ("s1", "hell0 w0rld"), ("s2", "g00dbye"), ("s3", "Hell0")]
+    # "i" flag, same XPath subset as REGEX
+    assert rows(base % 'REPLACE(?x, "^h", "J", "i")') == [
+        ("s1", "Jello world"), ("s2", "goodbye"), ("s3", "Jello")]
+    assert rows(base % 'IF(STRLEN(?x) > 6, "long", "short")') == [
+        ("s1", "long"), ("s2", "long"), ("s3", "short")]
+    # COALESCE takes the first BOUND argument; IF over an unbound
+    # operand is an error condition -> unbound target (spec rule)
+    opt = ("SELECT ?s ?u WHERE { ?s <v> ?x . OPTIONAL { ?s <n> ?m } "
+           "BIND(%s AS ?u) }")
+    assert rows(opt % 'COALESCE(?m, "none")') == [
+        ("s1", "none"), ("s2", "none"), ("s3", "42")]
+    assert rows(opt % 'IF(?m > 1, "big", "small")') == [
+        ("s1", None), ("s2", None), ("s3", "big")]
+    # COALESCE carries the winning argument's datatype: ?m's
+    # xsd:integer term-joins the typed <eq> object, the plain "42"
+    # fallback joins the plain one (a later pattern joins a BIND
+    # target TERM-exactly, shadows included)
+    df2 = _triples(spark, [
+        ("s3", "n", "42", XSD_INT), ("s3", "w", "1", ""),
+        ("s1", "w", "1", ""),
+        ("x", "eq", "42", XSD_INT), ("y", "eq", "42", ""),
+    ])
+    q2 = ("SELECT ?s ?e WHERE { ?s <w> ?t . OPTIONAL { ?s <n> ?m } "
+          'BIND(COALESCE(?m, "42") AS ?u) ?e <eq> ?u . }')
+    got = {tuple(r) for r in sparql(df2, q2).collect()}
+    assert got == {("s3", "x"), ("s1", "y")}
