@@ -1076,6 +1076,47 @@ def q_kg_sparql_path_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
 
 
+def q_kg_sparql_path_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL `?` zero-or-one path (round-6): one subClassOf step OR
+    the zero-length identity over the chain's node domain — set
+    semantics, no closure computation."""
+    from kgforge.sparql import sparql
+
+    q = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?a ?b WHERE { ?a rdfs:subClassOf? ?b }
+    """
+    return sparql(_sparql_chain_triples(spark, sf_dir, wrap=False), q)
+
+
+def q_kg_sparql_strfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (round-6): CONTAINS filter + nested
+    UCASE(SUBSTR(...)) and REPLACE binds over plain-literal part
+    names; IF classifies by STRLEN as a value-function comparison
+    operand."""
+    from kgforge.sparql import sparql
+
+    part = load(spark, sf_dir, "part")
+    triples = part.select(
+        F.concat(F.lit(DOMAIN + "P_"), F.col("p_partkey").cast("string")).alias("subj"),
+        F.lit(DOMAIN + "pname").alias("pred"),
+        F.col("p_name").alias("obj"),
+        F.lit("").alias("obj_dt"),
+    )
+    q = f"""
+    prefix ns1: <{DOMAIN}>
+    SELECT ?s ?u ?r ?c
+    WHERE {{
+        ?s ns1:pname ?x .
+        FILTER(CONTAINS(?x, "red"))
+        BIND(UCASE(SUBSTR(?x, 1, 5)) AS ?u)
+        BIND(REPLACE(?x, "red", "rojo") AS ?r)
+        BIND(IF(STRLEN(?x) > 10, "long", "short") AS ?c)
+    }}
+    """
+    return sparql(triples, q)
+
+
 def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL subquery (round-6): `{ SELECT ?x (COUNT(?z) AS ?n) ...
     GROUP BY ?x }` over the subPropertyOf-inferred link set, joined at
@@ -1204,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_optional_order": q_kg_sparql_optional_order,
         "kg_sparql_values_undef": q_kg_sparql_values_undef,
+        "kg_sparql_path_opt": q_kg_sparql_path_opt,
+        "kg_sparql_strfuncs": q_kg_sparql_strfuncs,
     }
 
 
@@ -2228,6 +2271,27 @@ def oracle_sql() -> dict[str, str]:
             FROM v2 a
             LEFT JOIN v1 ON v1.x = a.x
             JOIN v2 b ON b.x = a.x AND (v1.w IS NULL OR b.obj = v1.w)
+        """,
+        "kg_sparql_path_opt": f"""
+            WITH edges AS (
+              SELECT '{_D}C' || CAST(n_nationkey AS VARCHAR) AS a,
+                     '{_D}C' || CAST(n_nationkey + 1 AS VARCHAR) AS b
+              FROM nation WHERE n_nationkey < 24
+            ),
+            nodes AS (
+              SELECT a AS n FROM edges UNION SELECT b FROM edges
+            )
+            SELECT a, b FROM edges
+            UNION
+            SELECT n AS a, n AS b FROM nodes
+        """,
+        "kg_sparql_strfuncs": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
+                   UPPER(SUBSTR(p_name, 1, 5)) AS u,
+                   REPLACE(p_name, 'red', 'rojo') AS r,
+                   CASE WHEN LENGTH(p_name) > 10
+                        THEN 'long' ELSE 'short' END AS c
+            FROM part WHERE p_name LIKE '%red%'
         """,
         "kg_sparql_values_undef": f"""
             WITH vern AS (
