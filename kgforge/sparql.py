@@ -140,10 +140,11 @@ side's term. Certainly-bound variables keep fast null-safe equality,
 so the common all-bound query still plans hash joins on every key;
 only the genuinely maybe-unbound vars fall out of the equi-key set.
 MINUS over maybe-unbound shared vars applies the spec's definition
-exactly (compatible AND domains overlap on a var bound in both). The
-one remaining divergence: FILTER [NOT] EXISTS correlation through a
-maybe-unbound var stays null-safe (NULL matches only NULL), stricter
-than the spec's substitution semantics.
+exactly (compatible AND domains overlap on a var bound in both).
+FILTER [NOT] EXISTS correlation through a maybe-unbound var follows
+the spec's substitution semantics: a BOUND outer var substitutes
+term-exactly into the inner pattern, an UNBOUND one is not
+substituted and leaves the inner occurrence unconstrained.
 
 RDF term typing rides along: a variable bound in object position
 carries a hidden `<var>__dt` column (None = IRI, '' = plain literal,
@@ -2028,10 +2029,13 @@ def _compile_group_ex(
         # solution at all" — every row kept or dropped together (the
         # classic disjoint-domain case where NOT EXISTS and MINUS give
         # different answers). Correlation through a variable an
-        # earlier OPTIONAL left unbound follows the engine's null-safe
-        # semantics (NULL matches only NULL), stricter than the
-        # spec's substitution semantics.
-        edf = _compile_group(triples, eg)
+        # earlier OPTIONAL left unbound (round 6) follows the spec's
+        # SUBSTITUTION semantics: an unbound outer var is not
+        # substituted — it stays unconstrained in the inner pattern
+        # (the compat condition's NULL-matches-anything arm); bound
+        # vars substitute term-exactly. All-certain correlation keeps
+        # the pure null-safe equi-join plan.
+        edf, emaybe = _compile_group_ex(triples, eg)
         shared = sorted(
             c
             for c in set(acc.columns) & set(edf.columns)
@@ -2041,7 +2045,12 @@ def _compile_group_ex(
             keep = shared + [
                 _dt_shadow(v) for v in shared if _dt_shadow(v) in edf.columns
             ]
-            cond = _boundary_cond(acc.columns, edf.columns, shared)
+            if any(v in maybe or v in emaybe for v in shared):
+                cond = _compat_cond(
+                    acc.columns, edf.columns, shared, maybe, emaybe
+                )
+            else:
+                cond = _boundary_cond(acc.columns, edf.columns, shared)
             side = broadcast_if_schema_only(eg, edf.select(keep))
         else:
             cond = F.lit(True)

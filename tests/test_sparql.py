@@ -1492,3 +1492,35 @@ def test_value_functions_substr_replace_if_coalesce(spark):
           'BIND(COALESCE(?m, "42") AS ?u) ?e <eq> ?u . }')
     got = {tuple(r) for r in sparql(df2, q2).collect()}
     assert got == {("s3", "x"), ("s1", "y")}
+
+
+def test_exists_substitution_semantics_after_optional(spark):
+    """Round 6: FILTER [NOT] EXISTS correlated through a var an
+    earlier OPTIONAL left unbound follows the spec's SUBSTITUTION
+    rule — the unbound var is not substituted, so the inner pattern
+    runs unconstrained on it (exists ⇔ inner nonempty); a bound var
+    substitutes term-exactly."""
+    df = _triples(spark, [
+        ("s1", "p", "o", None),
+        ("s2", "p", "o", None),
+        ("s1", "opt", "w1", None),     # s1 gets ?w bound; s2 unbound
+        ("w1", "q", "z", None),        # inner matches w1
+        ("other", "q", "z", None),
+    ])
+    q = ("SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <opt> ?w } "
+         "FILTER EXISTS { ?w <q> ?z } }")
+    # s1: ?w=w1 substituted -> <w1 q z> exists  ✓
+    # s2: ?w unbound -> inner `?w <q> ?z` unconstrained -> nonempty ✓
+    got = sorted(tuple(r) for r in sparql(df, q).collect())
+    assert got == [("s1",), ("s2",)]
+    qn = ("SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <opt> ?w } "
+          "FILTER NOT EXISTS { ?w <q> ?z } }")
+    assert sparql(df, qn).count() == 0
+    # bound var with NO inner match is dropped by EXISTS
+    df2 = _triples(spark, [
+        ("s1", "p", "o", None),
+        ("s1", "opt", "nope", None),
+        ("w1", "q", "z", None),
+    ])
+    assert sparql(df2, q).count() == 0
+    assert [tuple(r) for r in sparql(df2, qn).collect()] == [("s1",)]
