@@ -1117,6 +1117,35 @@ def q_kg_sparql_strfuncs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_neg_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set (round-6): every link on a predicate
+    OTHER than the current v02 one — the superseded v01 statements
+    plus the schema triples, in one forward step (bag semantics)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1v2: <{_SPARQL_V2}>
+    SELECT ?x ?z
+    WHERE {{ ?x !(ns1v2:applicable_to) ?z }}
+    """
+    return sparql(triples, q)
+
+
+def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE (round-6): the outgoing triples of every part that
+    still carries a superseded v01 statement — graph-shaped output
+    (subj, pred, obj, obj_dt) like CONSTRUCT, deduped."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir)
+    q = f"""
+    prefix ns1v1: <{_SPARQL_V1}>
+    DESCRIBE ?x WHERE {{ ?x ns1v1:applicable_to ?w }}
+    """
+    return sparql(triples, q)
+
+
 def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL subquery (round-6): `{ SELECT ?x (COUNT(?z) AS ?n) ...
     GROUP BY ?x }` over the subPropertyOf-inferred link set, joined at
@@ -1247,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values_undef": q_kg_sparql_values_undef,
         "kg_sparql_path_opt": q_kg_sparql_path_opt,
         "kg_sparql_strfuncs": q_kg_sparql_strfuncs,
+        "kg_sparql_neg_path": q_kg_sparql_neg_path,
+        "kg_sparql_describe": q_kg_sparql_describe,
     }
 
 
@@ -2271,6 +2302,34 @@ def oracle_sql() -> dict[str, str]:
             FROM v2 a
             LEFT JOIN v1 ON v1.x = a.x
             JOIN v2 b ON b.x = a.x AND (v1.w IS NULL OR b.obj = v1.w)
+        """,
+        "kg_sparql_neg_path": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
+                   '{_D}BR_' || translate(p_brand, '# ', '__') AS z
+            FROM part WHERE p_partkey % 2 = 0      -- v01 links
+            UNION ALL                               -- bag semantics
+            SELECT '{_SPARQL_V1}applicable_to', '{_SPARQL_MOTHER}'
+            UNION ALL
+            SELECT '{_SPARQL_V2}applicable_to', '{_SPARQL_MOTHER}'
+        """,
+        "kg_sparql_describe": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS subj,
+                   '{_SPARQL_V2}applicable_to' AS pred,
+                   '{_D}BR_' || translate(p_brand, '# ', '__') AS obj,
+                   CAST(NULL AS VARCHAR) AS obj_dt
+            FROM part WHERE p_partkey % 2 = 0
+            UNION ALL
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                   '{_SPARQL_V2}applicable_to',
+                   '{_D}TY_' || translate(p_type, '# ', '__'),
+                   CAST(NULL AS VARCHAR)
+            FROM part WHERE p_partkey % 2 = 0
+            UNION ALL
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR),
+                   '{_SPARQL_V1}applicable_to',
+                   '{_D}BR_' || translate(p_brand, '# ', '__'),
+                   CAST(NULL AS VARCHAR)
+            FROM part WHERE p_partkey % 2 = 0
         """,
         "kg_sparql_path_opt": f"""
             WITH edges AS (

@@ -90,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             triples = rdfs_closure(triples)
         form = parse(qtext).form  # route on the query form, not on
         result = sparql(triples, qtext)  # accidental column names
-        if form == "construct":  # CONSTRUCT / INSERT -> N-Triples
+        if form in ("construct", "describe"):  # graph forms -> N-Triples
             for r in to_ntriples_lines(result).sort("line").toLocalIterator():
                 print(r.line)
         else:  # SELECT -> TSV, streamed partition-at-a-time (a BGP

@@ -25,12 +25,19 @@ straight to Catalyst plans:
             INSERT { template } WHERE { group }       (same as CONSTRUCT)
             ASK [WHERE] { group }   -> one (ask: boolean) row; probes
               with limit(1), never materializing the solution set
+            DESCRIBE (?v | iri)+ [WHERE { group }]  -> the deduped
+              OUTGOING triples of every described node (IRI bindings
+              of the vars + the constant targets; the subset's concise
+              bounded description is forward edges only)
             group := triple patterns ('.'-separated, ';'/',' lists,
                      `a` == rdf:type; predicate position takes a
                      property path over constant predicates:
                      p := seq ('|' seq)*; seq := elt ('/' elt)*;
                      elt := '^' elt | prim ('+'|'*'|'?')?;
                      prim := iri | 'a' | '(p)'
+                           | '!' (iri|'a') | '!(' iri ('|' iri)* ')'
+                             (negated property set, forward-only —
+                             one step over any OTHER predicate)
                      — `^` inverts IRI-object steps (literal-object
                      triples cannot invert in-subset);
                      — `+`/`*` are SET semantics incl. cycle-reflexive
@@ -253,6 +260,15 @@ class PathInv:
 
 
 @dataclass(frozen=True)
+class PathNeg:
+    """`!p` / `!(p1|p2|...)` — negated property set (round 6), the
+    FORWARD-only subset (`^` inside the set is out of subset): one
+    step over any predicate NOT in the set. Bag semantics (a single
+    step); literal objects ride through with their datatype."""
+    preds: tuple  # predicate IRI strings
+
+
+@dataclass(frozen=True)
 class PathSeq:
     """`e1/e2/...` — sequence paths; BAG semantics (the spec expands a
     sequence to a join over a fresh variable, multiplicities
@@ -267,8 +283,10 @@ class PathAlt:
     alts: tuple
 
 
-PathExpr = Iri | PathPlus | PathStar | PathOpt | PathSeq | PathAlt | PathInv
-PATH_TYPES = (PathPlus, PathStar, PathOpt, PathSeq, PathAlt, PathInv)
+PathExpr = (
+    Iri | PathPlus | PathStar | PathOpt | PathSeq | PathAlt | PathInv | PathNeg
+)
+PATH_TYPES = (PathPlus, PathStar, PathOpt, PathSeq, PathAlt, PathInv, PathNeg)
 
 Term = Var | Iri | Lit
 
@@ -332,6 +350,9 @@ class Query:
     having: "Expr | None" = None
     #: SELECT expression items `(valexpr AS ?alias)`: (alias, ValExpr)
     exprs: list[tuple[str, object]] = field(default_factory=list)
+    #: DESCRIBE targets (Var | Iri terms); the group may be empty for
+    #: the constant-only `DESCRIBE <iri>` form
+    describe: list | None = None
 
 
 # filter expression AST
@@ -611,13 +632,58 @@ class _Parser:
             if self.at("kw", "where"):
                 self.next()
             q = Query("ask", self._group())
+        elif self.at("word") and self.peek()[1].lower() == "describe":
+            q = self._describe()
         else:
-            raise ValueError(f"expected SELECT/CONSTRUCT/INSERT/ASK, got {self.peek()}")
+            raise ValueError(
+                "expected SELECT/CONSTRUCT/INSERT/ASK/DESCRIBE, got "
+                f"{self.peek()}"
+            )
         if not self.at("eof"):
             # silently ignoring trailing tokens would e.g. drop a
             # misspelled modifier and dump the full result set
             raise ValueError(f"unexpected trailing tokens at {self.peek()}")
         return q
+
+    def _describe(self) -> Query:
+        """`DESCRIBE (?var | iri)+ [WHERE { group }]` — the subset's
+        description is the node's OUTGOING triples (Jena's default
+        concise bounded description restricted to forward edges; the
+        engine's subjects are always IRIs). Variable targets need a
+        WHERE group; constant-only DESCRIBE takes none."""
+        self.next()  # DESCRIBE
+        targets: list = []
+        while True:
+            if self.at("var"):
+                targets.append(Var(self.next()[1]))
+            elif self.at("iri"):
+                targets.append(Iri(self.next()[1]))
+            elif self.at("pname"):
+                targets.append(Iri(self._expand(self.next()[1])))
+            else:
+                break
+        if not targets:
+            raise ValueError("DESCRIBE needs at least one ?var or IRI")
+        has_vars = any(isinstance(t, Var) for t in targets)
+        g = Group()
+        if self.at("kw", "where") or self.at("op", "{"):
+            if self.at("kw", "where"):
+                self.next()
+            g = self._group()
+        elif has_vars:
+            raise ValueError("DESCRIBE with ?vars needs a WHERE group")
+        if has_vars:
+            bound = _group_binds(g)
+            missing = [
+                t.name for t in targets
+                if isinstance(t, Var) and t.name not in bound
+            ]
+            if missing:
+                raise ValueError(
+                    f"DESCRIBE variable(s) {missing} not bound in the "
+                    "WHERE group"
+                )
+        return Query("describe", g, describe=targets)
 
     def _select(self) -> Query:
         self.expect("kw", "select")
@@ -1255,6 +1321,18 @@ class _Parser:
             p = self._path()
             self.expect("op", ")")
             return p
+        if self.at("op", "!"):  # negated property set (forward subset)
+            self.next()
+            if self.at("op", "("):
+                self.next()
+                preds = [self._nps_iri()]
+                while self.at("op", "|"):
+                    self.next()
+                    preds.append(self._nps_iri())
+                self.expect("op", ")")
+            else:
+                preds = [self._nps_iri()]
+            return PathNeg(tuple(sorted(set(preds))))
         k, v = self.next()
         if k == "iri":
             return Iri(v)
@@ -1263,6 +1341,23 @@ class _Parser:
         if k == "kw" and v == "a":
             return Iri(RDF_TYPE)
         raise ValueError(f"bad path element {k}:{v!r}")
+
+    def _nps_iri(self) -> str:
+        """One member of a negated property set — IRI/pname/`a` only
+        (`^iri` inverse members are out of subset, rejected loudly)."""
+        if self.at("op", "^"):
+            raise ValueError(
+                "inverse members in a negated property set (!^p) are "
+                "out of subset"
+            )
+        k, v = self.next()
+        if k == "iri":
+            return v
+        if k == "pname":
+            return self._expand(v)
+        if k == "kw" and v == "a":
+            return RDF_TYPE
+        raise ValueError(f"bad negated-property-set member {k}:{v!r}")
 
     # -- filter expressions --------------------------------------------
     def _expr(self) -> Expr:
@@ -1388,6 +1483,9 @@ def _path_preds(path) -> set[str]:
         return set().union(*(_path_preds(e) for e in path.elts))
     if isinstance(path, PathAlt):
         return set().union(*(_path_preds(a) for a in path.alts))
+    if isinstance(path, PathNeg):
+        # matches the complement — not enumerable, never schema-only
+        return set()
     raise ValueError(f"unknown path node {path!r}")
 
 
@@ -1447,6 +1545,12 @@ def _path_df(triples: DataFrame, path) -> DataFrame:
     semantics for `+`/`*` (defined duplicate-free)."""
     if isinstance(path, Iri):
         return triples.filter(F.col("pred") == path.value).select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            F.col("obj_dt").alias("dst_dt"),
+        )
+    if isinstance(path, PathNeg):
+        return triples.filter(~F.col("pred").isin(*path.preds)).select(
             F.col("subj").alias("src"),
             F.col("obj").alias("dst"),
             F.col("obj_dt").alias("dst_dt"),
@@ -2584,6 +2688,8 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     the result to `insert()` to union it back into the table).
     """
     q = parse(query)
+    if q.form == "describe":
+        return _describe_df(triples, q)
     bound = _compile_group(triples, q.group)
 
     if q.form == "ask":
@@ -2721,6 +2827,49 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     for p_df in parts[1:]:
         out = out.unionByName(p_df)
     return out.dropDuplicates(TRIPLE_FIELDS)
+
+
+def _describe_df(triples: DataFrame, q: Query) -> DataFrame:
+    """DESCRIBE → the deduped set of OUTGOING triples of every
+    described node: distinct IRI bindings of the target vars (literal
+    bindings are not describable subjects — filtered by their datatype
+    shadow) plus the constant targets, semi-joined against the triple
+    table on subj. Output shape = (subj, pred, obj, obj_dt), the same
+    graph shape as CONSTRUCT."""
+    from kgforge.session import local_df
+
+    nodes: DataFrame | None = None
+    vars_ = [t.name for t in q.describe if isinstance(t, Var)]
+    if vars_:
+        bound = _compile_group(triples, q.group)
+        parts = []
+        for v in vars_:
+            df_v = bound.filter(F.col(v).isNotNull())
+            sh = _dt_shadow(v)
+            if sh in bound.columns:  # keep IRI terms only
+                df_v = df_v.filter(F.col(sh).isNull())
+            parts.append(df_v.select(F.col(v).alias("node")))
+        nodes = parts[0]
+        for p in parts[1:]:
+            nodes = nodes.unionByName(p)
+    consts = sorted({t.value for t in q.describe if isinstance(t, Iri)})
+    if consts:
+        cdf = local_df(
+            triples.sparkSession, [(c,) for c in consts], "node string"
+        )
+        nodes = cdf if nodes is None else nodes.unionByName(cdf)
+    assert nodes is not None  # parser guarantees ≥1 target
+    out = (
+        triples.alias("_t")
+        .join(
+            nodes.distinct().alias("_n"),
+            F.col("_t.subj") == F.col("_n.node"),
+            "left_semi",
+        )
+        .select(*TRIPLE_FIELDS)
+        .dropDuplicates(TRIPLE_FIELDS)
+    )
+    return out
 
 
 def insert(triples: DataFrame, query: str) -> DataFrame:

@@ -1524,3 +1524,52 @@ def test_exists_substitution_semantics_after_optional(spark):
     ])
     assert sparql(df2, q).count() == 0
     assert [tuple(r) for r in sparql(df2, qn).collect()] == [("s1",)]
+
+
+def test_negated_property_set(spark):
+    """`!p` / `!(p1|p2)` (round 6): one forward step over any
+    predicate NOT in the set; bag semantics, literal objects ride
+    through; `^` members rejected."""
+    df = _triples(spark, [
+        ("a", "p", "b", None), ("a", "q", "c", None),
+        ("a", "r", "lit", ""), ("b", "p", "d", None),
+    ])
+    assert sorted(tuple(r) for r in sparql(
+        df, "SELECT ?x ?y WHERE { ?x !<p> ?y }").collect()) == [
+        ("a", "c"), ("a", "lit")]
+    assert sorted(tuple(r) for r in sparql(
+        df, "SELECT ?x ?y WHERE { ?x !(<p>|<q>) ?y }").collect()) == [
+        ("a", "lit")]
+    # composes with sequences like any other path element
+    assert sorted(tuple(r) for r in sparql(
+        df, "SELECT ?x ?y WHERE { ?x <p>/!(<q>) ?y }").collect()) == [
+        ("a", "d")]
+    with pytest.raises(ValueError, match="out of subset"):
+        sparql(df, "SELECT ?x ?y WHERE { ?x !(^<p>) ?y }")
+
+
+def test_describe(spark):
+    """DESCRIBE (round 6): deduped OUTGOING triples of constant
+    targets and of the IRI bindings of WHERE-bound vars (literal
+    bindings skipped — not describable subjects)."""
+    df = _triples(spark, [
+        ("a", "p", "b", None), ("a", "q", "1", ""),
+        ("b", "p", "c", None), ("c", "p", "d", None),
+    ])
+
+    def rows(q):
+        return sorted(tuple(r) for r in sparql(df, q).collect())
+
+    assert rows("DESCRIBE <a>") == [
+        ("a", "p", "b", None), ("a", "q", "1", "")]
+    assert rows("DESCRIBE <a> <b>") == [
+        ("a", "p", "b", None), ("a", "q", "1", ""), ("b", "p", "c", None)]
+    assert rows("DESCRIBE ?x WHERE { ?x <p> <c> }") == [
+        ("b", "p", "c", None)]
+    # ?y binds the IRI b and the literal "1" — only b is described
+    assert rows("DESCRIBE ?y WHERE { <a> ?p ?y }") == [
+        ("b", "p", "c", None)]
+    with pytest.raises(ValueError, match="needs a WHERE group"):
+        sparql(df, "DESCRIBE ?x")
+    with pytest.raises(ValueError, match="not bound in the WHERE"):
+        sparql(df, "DESCRIBE ?z WHERE { ?x <p> ?y }")
