@@ -75,15 +75,22 @@ straight to Catalyst plans:
                        the FILTER subset) | CONCAT | STR | STRLEN |
                        UCASE | LCASE | SUBSTR(src, start[, len],
                        1-based) | REPLACE(arg, "pat", "rep"[,
-                       "flags"]) | COALESCE(e...) — first bound arg,
+                       "flags"]) | DATATYPE(term) — the datatype IRI
+                       (simple literal → xsd:string; IRI/unbound →
+                       error) | COALESCE(e...) — first bound arg,
                        carrying its datatype | IF(boolean-expr, then,
                        else) — condition uses the FILTER grammar;
                        error condition → unbound | ?var | term)
                      | { group } UNION { group } (UNION ...)*
             expr  := !=, =, <, <=, >, >=, &&, ||, !, parens,
                      BOUND(?v), REGEX(?v, "pat"[, "flags"]),
-                     STRSTARTS/STRENDS/CONTAINS(term, term); operands
-                     are ?vars, IRIs/pnames, "literals", numbers
+                     STRSTARTS/STRENDS/CONTAINS(term, term),
+                     isIRI/isURI/isLiteral(?v) (unbound = error),
+                     term [NOT] IN (term, ...) (the spec's =-chain
+                     sugar; empty lists legal); operands are ?vars,
+                     IRIs/pnames, "literals", numbers, or value-
+                     function calls (e.g. STRLEN(?x) > 6,
+                     DATATYPE(?x) = xsd:integer)
 
   compile   each triple pattern -> a scan of the triple table with the
             constant positions pushed down as filters (subj/pred/obj
@@ -1183,6 +1190,7 @@ class _Parser:
     _VAL_FNS = {
         "concat": None, "str": 1, "strlen": 1, "ucase": 1, "lcase": 1,
         "substr": None, "replace": None, "coalesce": None,
+        "datatype": 1,
     }
 
     def _val_if(self):
@@ -1385,7 +1393,8 @@ class _Parser:
             return e
         k, v = self.peek()
         if k == "word" and v.lower() in (
-            "bound", "regex", "strstarts", "strends", "contains"
+            "bound", "regex", "strstarts", "strends", "contains",
+            "isiri", "isuri", "isliteral",
         ):
             self.next()
             self.expect("op", "(")
@@ -1395,8 +1404,12 @@ class _Parser:
                 args.append(self._operand())
             self.expect("op", ")")
             fn = v.lower()
-            if fn == "bound" and (len(args) != 1 or not isinstance(args[0], Var)):
-                raise ValueError("BOUND takes exactly one ?variable")
+            if fn == "isuri":
+                fn = "isiri"  # spec synonym
+            if fn in ("bound", "isiri", "isliteral") and (
+                len(args) != 1 or not isinstance(args[0], Var)
+            ):
+                raise ValueError(f"{fn.upper()} takes exactly one ?variable")
             if fn == "regex":
                 if len(args) not in (2, 3) or not all(
                     isinstance(a, Lit) for a in args[1:]
@@ -1413,7 +1426,36 @@ class _Parser:
         if k == "op" and v in ("!=", "=", "<", "<=", ">", ">="):
             self.next()
             return Cmp(v, left, self._operand())
+        if k == "word" and v.lower() == "in":
+            # `term IN (t1, t2, ...)` — sugar for an =-chain per spec
+            self.next()
+            return self._in_list(left, negated=False)
+        if k == "word" and v.lower() == "not":
+            self.next()
+            k2, v2 = self.next()
+            if k2 != "word" or v2.lower() != "in":
+                raise ValueError(f"expected IN after NOT, got {k2}:{v2!r}")
+            return self._in_list(left, negated=True)
         raise ValueError("bare term is not a boolean filter")
+
+    def _in_list(self, left, negated: bool) -> Expr:
+        """`?v [NOT] IN (t, ...)` — expands to the spec's =-chain (an
+        empty list is legal: IN () is false, NOT IN () is true)."""
+        self.expect("op", "(")
+        terms = []
+        if not self.at("op", ")"):
+            terms.append(self._operand())
+            while self.at("op", ","):
+                self.next()
+                terms.append(self._operand())
+        self.expect("op", ")")
+        if not terms:
+            e: Expr = Cmp("=", Lit("0"), Lit("1"))  # statically false
+        else:
+            e = Cmp("=", left, terms[0])
+            for t in terms[1:]:
+                e = BoolOp("or", (e, Cmp("=", left, t)))
+        return Not(e) if negated else e
 
     def _operand(self) -> object:
         k, v = self.peek()
@@ -2320,6 +2362,19 @@ def _compile_expr(e: Expr, cols: set[str]) -> F.Column:
             if "i" in flags:  # the one XPath flag the subset carries
                 pat = "(?i)" + pat
             return target.rlike(pat)
+        if e.fn in ("isiri", "isliteral"):
+            # term-kind tests on the datatype shadow (NULL shadow =
+            # IRI); an UNBOUND var is a type error (NULL → dropped,
+            # and NOT flips it to dropped too, per three-valued logic)
+            name = e.args[0].name
+            if name not in cols:
+                return F.lit(None).cast("boolean")  # statically unbound
+            sh = _dt_shadow(name)
+            is_iri = (
+                F.col(sh).isNull() if sh in cols else F.lit(True)
+            )
+            kind = is_iri if e.fn == "isiri" else ~is_iri
+            return F.when(F.col(name).isNull(), F.lit(None).cast("boolean")).otherwise(kind)
         if e.fn in ("strstarts", "strends", "contains"):
             # string predicates over lexical forms (round 6); a NULL
             # (unbound) operand is a SPARQL type error → NULL → row
@@ -2434,6 +2489,17 @@ def _compile_valexpr(e, cols: set[str]) -> tuple[F.Column, F.Column]:
             for v, d in reversed(pairs):
                 dt = F.when(v.isNotNull(), d).otherwise(dt)
             return value, dt
+        if e.fn == "datatype":
+            # datatype of a literal term, AS AN IRI: typed literal →
+            # its datatype IRI, simple literal → xsd:string (spec),
+            # IRI or unbound → error (NULL)
+            val, dt = _compile_valexpr(e.args[0], cols)
+            out = (
+                F.when(val.isNull() | dt.isNull(), F.lit(None).cast("string"))
+                .when(dt == "", F.lit(_XSD_NS + "string"))
+                .otherwise(dt)
+            )
+            return out, F.lit(None).cast("string")  # result is an IRI
         vals = [_compile_valexpr(a, cols)[0] for a in e.args]
         if e.fn == "substr":
             # SPARQL/XPath 1-based positions; non-integer start/length

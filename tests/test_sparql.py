@@ -1573,3 +1573,38 @@ def test_describe(spark):
         sparql(df, "DESCRIBE ?x")
     with pytest.raises(ValueError, match="not bound in the WHERE"):
         sparql(df, "DESCRIBE ?z WHERE { ?x <p> ?y }")
+
+
+def test_term_kind_and_datatype_functions(spark):
+    """isIRI/isURI/isLiteral (unbound = type error, also under !),
+    DATATYPE (typed -> its IRI, simple literal -> xsd:string,
+    IRI/unbound -> error), and [NOT] IN =-chain sugar."""
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    df = _triples(spark, [
+        ("s1", "v", "node", None),        # IRI object
+        ("s2", "v", "plain", ""),          # simple literal
+        ("s3", "v", "42", XSD + "integer"),
+        ("s4", "w", "x", None),            # no <v> -> ?x unbound
+    ])
+
+    def rows(q):
+        return sorted(tuple(r) for r in sparql(df, q).collect())
+
+    base = "SELECT ?s WHERE { ?s <v> ?x . FILTER(%s) }"
+    assert rows(base % "isIRI(?x)") == [("s1",)]
+    assert rows(base % "isURI(?x)") == [("s1",)]
+    assert rows(base % "isLiteral(?x)") == [("s2",), ("s3",)]
+    # unbound operand is an error — NOT does not resurrect the row
+    q_opt = ("SELECT ?s WHERE { ?s <w> ?o . OPTIONAL { ?s <v> ?x } "
+             "FILTER(!isIRI(?x)) }")
+    assert sparql(df, q_opt).count() == 0
+    assert rows(
+        "SELECT ?s ?d WHERE { ?s <v> ?x . BIND(DATATYPE(?x) AS ?d) }"
+    ) == [("s1", None), ("s2", XSD + "string"), ("s3", XSD + "integer")]
+    assert rows(
+        f"PREFIX xsd: <{XSD}> " + base % "DATATYPE(?x) = xsd:integer"
+    ) == [("s3",)]
+    assert rows(base % '?x IN ("plain", "nope")') == [("s2",)]
+    assert rows(base % '?x NOT IN ("plain")') == [("s1",), ("s3",)]
+    assert rows(base % "?x IN ()") == []
+    assert rows(base % "?x NOT IN ()") == [("s1",), ("s2",), ("s3",)]
