@@ -1146,6 +1146,28 @@ def q_kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparql(triples, q)
 
 
+def q_kg_sparql_termfns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-kind + datatype functions (round-6) over a MIXED graph
+    (IRI-object version links ∪ integer-typed vernum literals):
+    isLiteral and DATATYPE prune the IRI links in-plan, NOT IN drops
+    version 3 numerically (typed-literal =-chain)."""
+    from kgforge.sparql import sparql
+
+    triples = _sparql_version_triples(spark, sf_dir).unionByName(
+        _sparql_vernum_triples(spark, sf_dir)
+    )
+    q = f"""
+    prefix xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT ?s ?v
+    WHERE {{
+        ?s ?p ?v .
+        FILTER(isLiteral(?v) && DATATYPE(?v) = xsd:integer
+               && ?v NOT IN ("3"^^xsd:integer))
+    }}
+    """
+    return sparql(triples, q)
+
+
 def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL subquery (round-6): `{ SELECT ?x (COUNT(?z) AS ?n) ...
     GROUP BY ?x }` over the subPropertyOf-inferred link set, joined at
@@ -1278,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_strfuncs": q_kg_sparql_strfuncs,
         "kg_sparql_neg_path": q_kg_sparql_neg_path,
         "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_termfns": q_kg_sparql_termfns,
     }
 
 
@@ -2302,6 +2325,11 @@ def oracle_sql() -> dict[str, str]:
             FROM v2 a
             LEFT JOIN v1 ON v1.x = a.x
             JOIN v2 b ON b.x = a.x AND (v1.w IS NULL OR b.obj = v1.w)
+        """,
+        "kg_sparql_termfns": f"""
+            SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS s,
+                   CAST(p_partkey % 13 AS VARCHAR) AS v
+            FROM part WHERE p_partkey % 13 != 3
         """,
         "kg_sparql_neg_path": f"""
             SELECT '{_D}P_' || CAST(p_partkey AS VARCHAR) AS x,
