@@ -29,14 +29,63 @@ from pyspark.sql import functions as F
 from kgforge.profile import SAFE, ScaleProfile
 
 
-def word_shingles(text: Column, k: int = 5) -> Column:
-    """k-word shingles as strings (JVM): tokens joined with ' '."""
-    toks = F.split(F.trim(text), "\\s+")
+def _shingles_of_tokens(toks: Column, k: int) -> Column:
+    """k-word shingles from an ALREADY MATERIALIZED token-array column.
+
+    Callers must bind `toks` in its own projection (see shingle_rows):
+    inlining `split(text)` here puts the regex split inside the
+    `transform` lambda, where it is re-evaluated once PER SHINGLE
+    (Catalyst does no subexpression elimination across lambda bodies —
+    measured 25.4 s vs 2.3 s for the sf1.0 shingle pass, guide §1.2
+    "per-task work")."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))).otherwise(
         F.array(F.array_join(toks, " "))
     )
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """k-word shingles as strings (JVM): tokens joined with ' '.
+
+    One-shot expression form (kept for API/tests); hot paths use
+    `shingle_rows`, which evaluates the tokenizer once per document
+    instead of once per shingle."""
+    return _shingles_of_tokens(F.split(F.trim(text), "\\s+"), k)
+
+
+def tokenized(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, toks) with the `\\s+` split evaluated ONCE per document.
+
+    The round-robin repartition does two jobs: it is the projection
+    barrier that stops CollapseProject from re-inlining the split into
+    downstream shingle lambdas (where it would run once per shingle),
+    and it spreads the documents across the cluster — at bench scale
+    the docs parquet is 1-2 input splits, so every pre-exchange stage
+    otherwise runs on 1-2 tasks. The shuffle is one narrow linear pass
+    of the tokenized text (same O(corpus) class as the dedup shuffle
+    itself)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n_part).select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), "\\s+").alias("toks")
+    )
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, s) exploded k-shingles, split-once formulation (the scale
+    path for every shingle consumer; semantics identical to
+    `explode(array_distinct(word_shingles(text, k)))`)."""
+    t = tokenized(df, id_col, text_col)
+    sh = _shingles_of_tokens(F.col("toks"), k)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return t.select("id", F.explode(sh).alias("s"))
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -79,10 +128,7 @@ def minhash_signatures_agg(
     num_hashes× per row, and once more per join side; observed 20×
     slower at sf0.1). The groupBy(id) min() has a map-side partial
     aggregate, so the shuffle carries one row per document."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_k)
     return sh.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("s")))).alias(f"h{i}")
@@ -253,35 +299,184 @@ def ngram_jaccard_pairs(
     quadratic join fan-out.
 
     `profile` (kgforge.profile.ScaleProfile) overrides max_df_frac
-    when it carries one (ngram_max_df_frac)."""
+    when it carries one (ngram_max_df_frac).
+
+    OUTPUT-IDENTICAL round-7 reformulation (the round-6 shape exploded
+    Σ_s C(df_s, 2) candidate pairs — 5.1e8 at the sf1.0 bench, 110 s —
+    then counted intersections by groupBy(pair); this one produces the
+    same rows from two published, lossless prunes):
+
+    1. EXACT-TEXT GROUP COLLAPSE (guide §8: decide on lightweight
+       reps, attach the decision back). Documents are grouped by
+       md5(text) — the identity primitive `dedup_exact` already keys
+       on. Every member of a group has the same shingle set, the same
+       n, and the same rare-shingle set, so every pairwise decision
+       (candidate or not, inter, jaccard) is a function of the two
+       GROUPS only. Pairs are computed once between group
+       representatives and expanded to member cross-products at the
+       end; intra-group pairs share their whole rare set (inter =
+       n_rare, jaccard = n_rare/(2n − n_rare)) and are emitted
+       directly when that passes the same ≥-threshold filter. The
+       bench corpus carries a planted exact clone per doc, so this
+       alone quarters the quadratic candidate volume.
+    2. PREFIX FILTERING (SSJoin/PPJoin, Chaudhuri et al. ICDE'06 /
+       Xiao et al. WWW'08 — lossless). For a qualifying pair,
+       inter ≥ t·(na+nb)/(1+t) and inter ≤ min(n_rare_a, n_rare_b) ≤
+       min(na, nb), hence inter ≥ t·na and inter ≥ t·nb. Order all
+       shingles by the global total order (df asc, shingle asc) —
+       rarest first. If each doc indexes only the first
+       n_rare − c + 1 of its rare shingles (c = max(1,
+       ⌊t·na − 1e-9⌋) ≤ the pair's true overlap bound), the
+       minimum-order element of A'∩B' provably lands in BOTH prefixes
+       (if it were outside A's prefix, all of A'∩B' would sit in A's
+       last c−1 elements, contradicting |A'∩B'| ≥ c). So generating
+       candidates from prefix shingles only loses nothing, and prefix
+       shingles are by construction the RAREST — the stopword-shaped
+       buckets that caused the quadratic blowup never pair at all.
+       The 1e-9 slack makes c conservative against float rounding
+       (a smaller c only lengthens the prefix — still lossless).
+       POSITIONAL FILTER (PPJoin): for the pair's minimum-order common
+       element z, inter ≤ 1 + min(n_rare_a − rk_a(z), n_rare_b −
+       rk_b(z)) — everything common is z or sits after z in each
+       side's sorted rare list. z is in both prefixes, so over the
+       pair's prefix-match occurrences min(rk_a) and min(rk_b) are
+       BOTH attained at z; aggregating min ranks per pair and keeping
+       only pairs whose bound reaches t·(na+nb)/(1+t) is again
+       lossless (measured: 20.8M → 2.4M verified pairs at sf1.0).
+    3. Exact verification: candidates (distinct rep pairs sharing a
+       prefix shingle) join each side's collected rare-shingle array;
+       inter = size(array_intersect) — the same shared-rare-shingle
+       count the groupBy formulation produced — then the identical
+       jaccard expression and ≥-threshold filter.
+
+    Guard interplay (unchanged semantics): a group larger than max_df
+    forces df_s > max_df on every one of its shingles, so it has NO
+    rare shingles — its intra pairs were never emitted by the round-6
+    shape either (inter ≥ 1 never holds), and `n_rare ≥ 1` preserves
+    that here. It follows that every `members` array that reaches a
+    pair explosion is ≤ max_df elements, the same bound the bucket
+    path always had. Assumes unique doc ids (as the whole dedup
+    family does)."""
     if profile is not None and profile.ngram_max_df_frac is not None:
         max_df_frac = profile.ngram_max_df_frac
     if max_df_frac is not None:
         n_docs = df.count()  # one cheap aggregate, driver-side knob
         max_df = max(2, int(n_docs * max_df_frac))
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # -- 1. collapse exact-duplicate texts ------------------------------
+    groups = (
+        df.select(
+            F.md5(F.col(text_col)).alias("th"),
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+        )
+        .groupBy("th")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("members"),
+            F.first("text").alias("text"),
+        )
+        .select(
+            F.element_at("members", 1).alias("gid"),
+            "text",
+            "members",
+            F.size("members").alias("gsize"),
+        )
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # pair generation via bounded per-shingle buckets: ONE groupBy(s)
-    # (which applies the max_df guard for free on the aggregated size)
-    # + in-array pair explosion, instead of the sizes-census join +
-    # equi-self-join (two extra shuffles of the full (id, shingle)
-    # table). Member arrays are bounded by max_df, so no hub rows.
+
+    # -- shingles once per distinct text, split-once + spread ----------
+    t = groups.select("gid", "gsize", "text").repartition(n_part).select(
+        "gid", "gsize", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    ex = t.select(
+        "gid",
+        "gsize",
+        F.explode(F.array_distinct(_shingles_of_tokens(F.col("toks"), shingle_k))).alias("s"),
+    )
+
+    # -- 2. doc-weighted df census in ONE pass by s (window, not a
+    # second aggregate subtree), then sizes/rare-count/prefix-rank in
+    # ONE pass by gid --------------------------------------------------
+    exd = ex.withColumn(
+        "dft", F.sum("gsize").over(Window.partitionBy("s"))
+    ).withColumn("is_common", F.col("dft") > max_df)
+    wo = Window.partitionBy("gid").orderBy("is_common", "dft", "s")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        exd.withColumn("n", F.count(F.lit(1)).over(wfull))
+        .withColumn(
+            "n_rare", F.sum((~F.col("is_common")).cast("int")).over(wfull)
+        )
+        .withColumn("rk", F.row_number().over(wo))
+    )
+    c = F.greatest(
+        F.lit(1), F.floor(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+    )
+    prefix = ranked.filter(
+        (~F.col("is_common")) & (F.col("rk") <= F.col("n_rare") - c + 1)
+    ).select("gid", "s", "rk", "n", "n_rare")
+
+    # rare-set arrays + sizes per group (groupBy reuses the gid
+    # partitioning established by the window — no extra exchange)
+    rsets = ranked.groupBy("gid").agg(
+        F.collect_list(F.when(~F.col("is_common"), F.col("s"))).alias("ss"),
+        F.first("n").alias("n"),
+        F.first("n_rare").alias("n_rare"),
+    )
+
+    # -- candidates: rep pairs sharing a PREFIX shingle (buckets are
+    # bounded by df_s ≤ max_df, as before), each occurrence carrying
+    # the positional data the PPJoin filter needs --------------------
     buckets = (
-        sh.groupBy("s")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+        prefix.groupBy("s")
+        .agg(F.collect_list(F.struct("gid", "rk", "n", "n_rare")).alias("es"))
+        .filter(F.size("es") >= 2)
+    ).repartition(n_part)
+    es = F.array_sort(F.col("es"))  # struct sort: gid is field 1 → a < b
+    pair_structs = F.flatten(
+        F.transform(
+            es,
+            lambda x, i: F.transform(
+                F.slice(es, i + F.lit(2), F.size(es)),
+                lambda y: F.struct(
+                    x["gid"].alias("a"),
+                    y["gid"].alias("b"),
+                    x["rk"].alias("rka"),
+                    y["rk"].alias("rkb"),
+                    x["n"].alias("na"),
+                    y["n"].alias("nb"),
+                    x["n_rare"].alias("nra"),
+                    y["n_rare"].alias("nrb"),
+                ),
+            ),
+        )
     )
-    inter = _in_array_pairs(buckets).groupBy("a", "b").agg(
-        F.count(F.lit(1)).alias("inter")
+    occ = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
+    # one aggregate both DEDUPES pairs and finds each pair's
+    # minimum-order match (min rank on both sides = the z element)
+    cand = occ.groupBy("a", "b").agg(
+        F.min("rka").alias("rka"),
+        F.min("rkb").alias("rkb"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.first("nra").alias("nra"),
+        F.first("nrb").alias("nrb"),
     )
-    sa = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
+    t_f = float(threshold)
+    cpair = F.lit(t_f) / (1.0 + t_f) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
+    cand = cand.filter(
+        (1 + F.least(F.col("nra") - F.col("rka"), F.col("nrb") - F.col("rkb")))
+        >= cpair
+    ).select("a", "b", "na", "nb")
+
+    # -- 3. exact verify + jaccard (identical expression) ---------------
+    ra = rsets.select(F.col("gid").alias("a"), F.col("ss").alias("sa"))
+    rb = rsets.select(F.col("gid").alias("b"), F.col("ss").alias("sb"))
+    scored = (
+        cand.join(ra, "a")
+        .join(rb, "b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .filter(F.col("inter") >= 1)
         .select(
             "a",
             "b",
@@ -292,6 +487,52 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+    # -- expand rep pairs to member cross-products ----------------------
+    ga = groups.select(F.col("gid").alias("a"), F.col("members").alias("ma"))
+    gb = groups.select(F.col("gid").alias("b"), F.col("members").alias("mb"))
+    cross = (
+        scored.join(ga, "a")
+        .join(gb, "b")
+        .select("jaccard", F.explode("ma").alias("x"), "mb")
+        .select("jaccard", "x", F.explode("mb").alias("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "jaccard",
+        )
+        .filter(F.col("a") < F.col("b"))
+    )
+
+    # -- intra-group pairs: inter = n_rare, sizes equal -----------------
+    gi = rsets.select("gid", "n", "n_rare")
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .join(gi, "gid")
+        .filter(F.col("n_rare") >= 1)
+        .withColumn(
+            "jaccard",
+            F.col("n_rare").cast("double")
+            / (F.col("n") + F.col("n") - F.col("n_rare")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    m = F.col("members")  # sorted ascending → a < b inside each pair
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    intra_pairs = (
+        intra.repartition(n_part)
+        .select(F.explode(pair_structs).alias("p"), "jaccard")
+        .select("p.a", "p.b", "jaccard")
+    )
+    return cross.unionByName(intra_pairs)
 
 
 # --------------------------------------------------------------- SimHash
@@ -315,10 +556,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Empty/whitespace-only documents hash to 0 (no tokens, no bits).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = (
+        tokenized(df, id_col, text_col)
+        .select("id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     sums = toks.groupBy("id").agg(
         *[
