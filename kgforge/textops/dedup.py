@@ -353,10 +353,11 @@ def ngram_jaccard_pairs(
     forces df_s > max_df on every one of its shingles, so it has NO
     rare shingles — its intra pairs were never emitted by the round-6
     shape either (inter ≥ 1 never holds), and `n_rare ≥ 1` preserves
-    that here. It follows that every `members` array that reaches a
-    pair explosion is ≤ max_df elements, the same bound the bucket
-    path always had. Assumes unique doc ids (as the whole dedup
-    family does)."""
+    that here. Member expansion is JOIN-based (a (gid, id) row table,
+    never a collected membership array), so a degenerate pile of 10⁸
+    identical docs cannot form a hub row — the same bounded-memory
+    posture as the banded-bucket guards. Assumes unique doc ids (as
+    the whole dedup family does)."""
     if profile is not None and profile.ngram_max_df_frac is not None:
         max_df_frac = profile.ngram_max_df_frac
     if max_df_frac is not None:
@@ -364,25 +365,23 @@ def ngram_jaccard_pairs(
         max_df = max(2, int(n_docs * max_df_frac))
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    # -- 1. collapse exact-duplicate texts ------------------------------
-    groups = (
-        df.select(
-            F.md5(F.col(text_col)).alias("th"),
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("text"),
-        )
-        .groupBy("th")
-        .agg(
-            F.sort_array(F.collect_list("id")).alias("members"),
-            F.first("text").alias("text"),
-        )
-        .select(
-            F.element_at("members", 1).alias("gid"),
-            "text",
-            "members",
-            F.size("members").alias("gsize"),
-        )
+    # -- 1. collapse exact-duplicate texts (scalar aggregates only — no
+    # membership arrays; members stay a row table) ----------------------
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("th"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
     )
+    groups = hashed.groupBy("th").agg(
+        F.min("id").alias("gid"),
+        F.first("text").alias("text"),
+        F.count(F.lit(1)).alias("gsize"),
+    )
+    # (gid, id) member rows — th-partitioned on both sides, so the join
+    # reuses the groupBy exchange
+    mem = hashed.select("th", "id").join(
+        groups.select("th", "gid"), "th"
+    ).select("gid", "id")
 
     # -- shingles once per distinct text, split-once + spread ----------
     t = groups.select("gid", "gsize", "text").repartition(n_part).select(
@@ -488,14 +487,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
 
-    # -- expand rep pairs to member cross-products ----------------------
-    ga = groups.select(F.col("gid").alias("a"), F.col("members").alias("ma"))
-    gb = groups.select(F.col("gid").alias("b"), F.col("members").alias("mb"))
+    # -- expand rep pairs to member cross-products (join-based — one
+    # member row at a time, no hub arrays) ------------------------------
+    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
+    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
     cross = (
-        scored.join(ga, "a")
-        .join(gb, "b")
-        .select("jaccard", F.explode("ma").alias("x"), "mb")
-        .select("jaccard", "x", F.explode("mb").alias("y"))
+        scored.join(mx, "a")
+        .join(my, "b")
         .select(
             F.least("x", "y").alias("a"),
             F.greatest("x", "y").alias("b"),
@@ -507,7 +505,7 @@ def ngram_jaccard_pairs(
     # -- intra-group pairs: inter = n_rare, sizes equal -----------------
     gi = rsets.select("gid", "n", "n_rare")
     intra = (
-        groups.filter(F.size("members") >= 2)
+        groups.filter(F.col("gsize") >= 2)
         .join(gi, "gid")
         .filter(F.col("n_rare") >= 1)
         .withColumn(
@@ -516,21 +514,15 @@ def ngram_jaccard_pairs(
             / (F.col("n") + F.col("n") - F.col("n_rare")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("gid", "jaccard")
     )
-    m = F.col("members")  # sorted ascending → a < b inside each pair
-    pair_structs = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.size(m)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    mg = mem.select("gid", F.col("id").alias("x"))
+    mh = mem.select("gid", F.col("id").alias("y"))
     intra_pairs = (
-        intra.repartition(n_part)
-        .select(F.explode(pair_structs).alias("p"), "jaccard")
-        .select("p.a", "p.b", "jaccard")
+        intra.join(mg, "gid")
+        .join(mh, "gid")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"), "jaccard")
     )
     return cross.unionByName(intra_pairs)
 
@@ -625,6 +617,27 @@ def simhash_near_dups(
     bounded; drop_zero stays False: it changes semantics). Pass
     profile=kgforge.profile.PARITY (or max_bucket=None) for the raw
     unguarded path. `profile` overrides all three knobs.
+
+    Round-7 reformulation, OUTPUT-IDENTICAL (same two lossless moves
+    as `ngram_jaccard_pairs`, proofs there):
+
+    * EXACT-TEXT GROUP COLLAPSE: the signature is a pure function of
+      the text, so identical texts get identical signatures, identical
+      chunk keys and pairwise hamming 0. Candidates are generated
+      between group representatives only (the census stays DOC-
+      weighted — bucket size = Σ gsize — so the max_bucket/oversize
+      thresholds fire on exactly the same buckets as before), then
+      expanded to member pairs through a (gid, id) row table (join-
+      based, no membership arrays — a 10⁸-doc pile of one text cannot
+      form a hub row). Intra-group pairs always share every chunk and
+      have hamming 0; under oversize="drop" they are emitted only when
+      the group still has a surviving bucket, which is exactly when
+      the round-6 shape emitted them.
+    * VERIFY BEFORE THE DEDUP SHUFFLE: filter-then-distinct ≡
+      distinct-then-filter for a pure row predicate, but the distinct
+      then shuffles only true near-dups instead of every banded
+      collision (1.12e8 candidate rows at the sf1.0 bench, ~2e5
+      survivors — guide §2.3 "shuffle fewer bytes").
     """
     if profile is not None:
         max_bucket = profile.max_bucket
@@ -632,12 +645,35 @@ def simhash_near_dups(
         drop_zero = profile.simhash_drop_zero
     if oversize not in ("join", "drop"):
         raise ValueError(f"unknown oversize policy {oversize!r}")
-    sig = simhash(df, id_col, text_col)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # -- collapse exact-duplicate texts ---------------------------------
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("th"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+    )
+    groups = hashed.groupBy("th").agg(
+        F.min("id").alias("gid"),
+        F.first("text").alias("text"),
+        F.count(F.lit(1)).alias("gsize"),
+    )
+    mem = hashed.select("th", "id").join(
+        groups.select("th", "gid"), "th"
+    ).select("gid", "id")
+
+    # -- signatures per distinct text -----------------------------------
+    gsig = simhash(
+        groups.select(F.col("gid").alias("doc_id"), "text"), "doc_id", "text"
+    ).withColumnRenamed("id", "gid")
     if drop_zero:
-        sig = sig.filter(F.col("simhash") != 0)
-    chunks = sig.select(
-        "id",
+        gsig = gsig.filter(F.col("simhash") != 0)
+    gsig = gsig.join(groups.select("gid", "gsize"), "gid")
+
+    chunks = gsig.select(
+        "gid",
         "simhash",
+        "gsize",
         F.explode(
             F.array(
                 *[
@@ -651,7 +687,7 @@ def simhash_near_dups(
                 ]
             )
         ).alias("b"),
-    ).select("id", "simhash", "b.chunk", "b.ck")
+    ).select("gid", "simhash", "gsize", "b.chunk", "b.ck")
 
     def _self_join(rows: DataFrame) -> DataFrame:
         return (
@@ -660,58 +696,100 @@ def simhash_near_dups(
                 rows.alias("r"),
                 (F.col("l.chunk") == F.col("r.chunk"))
                 & (F.col("l.ck") == F.col("r.ck"))
-                & (F.col("l.id") < F.col("r.id")),
+                & (F.col("l.gid") < F.col("r.gid")),
             )
             .select(
-                F.col("l.id").alias("a"),
-                F.col("r.id").alias("b"),
+                F.col("l.gid").alias("a"),
+                F.col("r.gid").alias("b"),
                 F.col("l.simhash").alias("ha"),
                 F.col("r.simhash").alias("hb"),
             )
         )
 
+    ham_ok = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+
     if max_bucket is None:
-        cand = _self_join(chunks).distinct()
+        rep = _self_join(chunks).filter(ham_ok).distinct()
+        intra_src = gsig.filter(F.col("gsize") >= 2).select("gid")
     else:
-        # window-count census: sizes are known BEFORE any membership
-        # array is collected, in the same single shuffle the pair
-        # groupBy needs anyway (see minhash_lsh_candidates)
+        # window-count census in DOC units (Σ gsize): sizes are known
+        # BEFORE any membership array is collected, in the same single
+        # shuffle the pair groupBy needs anyway, and the guard
+        # thresholds keep their original doc-count meaning
         tagged = chunks.withColumn(
-            "sz", F.count(F.lit(1)).over(Window.partitionBy("chunk", "ck"))
+            "sz", F.sum("gsize").over(Window.partitionBy("chunk", "ck"))
         ).filter(F.col("sz") >= 2)
         small = (
             tagged.filter(F.col("sz") <= max_bucket)
             .groupBy("chunk", "ck")
-            .agg(F.collect_list(F.struct("id", "simhash")).alias("mem"))
+            .agg(F.collect_list(F.struct("gid", "simhash")).alias("mem"))
         )
         # spread before the C(n,2) explosion (see _in_array_pairs)
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         small = small.repartition(n_part)
-        m = F.array_sort(F.col("mem"))  # struct sort: id is field 1 → a < b
+        m = F.array_sort(F.col("mem"))  # struct sort: gid is field 1 → a < b
         pair_structs = F.flatten(
             F.transform(
                 m,
                 lambda x, i: F.transform(
                     F.slice(m, i + F.lit(2), F.size(m)),
                     lambda y: F.struct(
-                        x["id"].alias("a"),
-                        y["id"].alias("b"),
+                        x["gid"].alias("a"),
+                        y["gid"].alias("b"),
                         x["simhash"].alias("ha"),
                         y["simhash"].alias("hb"),
                     ),
                 ),
             )
         )
-        cand = small.select(F.explode(pair_structs).alias("p")).select(
-            "p.a", "p.b", "p.ha", "p.hb"
+        cand = (
+            small.select(F.explode(pair_structs).alias("p"))
+            .select("p.a", "p.b", "p.ha", "p.hb")
+            .filter(ham_ok)
         )
         if oversize == "join":
             big = tagged.filter(F.col("sz") > max_bucket).select(
-                "id", "simhash", "chunk", "ck"
+                "gid", "simhash", "chunk", "ck"
             )
-            cand = cand.unionByName(_self_join(big))
-        cand = cand.distinct()
+            cand = cand.unionByName(_self_join(big).filter(ham_ok))
+            intra_src = gsig.filter(F.col("gsize") >= 2).select("gid")
+        else:
+            # drop: a group keeps its intra pairs only while it still
+            # has a surviving (≤ max_bucket) bucket — the round-6
+            # condition for those pairs to be generated at all
+            intra_src = (
+                tagged.filter(F.col("sz") <= max_bucket)
+                .join(gsig.filter(F.col("gsize") >= 2).select("gid"), "gid", "left_semi")
+                .select("gid")
+                .distinct()
+            )
+        rep = cand.distinct()
+
+    # -- expand rep pairs to member pairs (join-based) ------------------
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select("a", "b", ham.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    rep = rep.select("a", "b", ham.alias("hamming"))
+    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
+    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
+    cross = (
+        rep.join(mx, "a")
+        .join(my, "b")
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "hamming",
+        )
+        .filter(F.col("a") < F.col("b"))
     )
+    mg = mem.select("gid", F.col("id").alias("x"))
+    mh = mem.select("gid", F.col("id").alias("y"))
+    intra = (
+        intra_src.join(mg, "gid")
+        .join(mh, "gid")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    out = cross.unionByName(intra)
+    return out.filter(F.col("hamming") <= max_hamming)
