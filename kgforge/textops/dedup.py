@@ -209,13 +209,45 @@ def minhash_lsh_candidates(
         ONLY a saturated bucket are lost; a bucket hotter than N under
         a reasonable N carries boilerplate, not signal — same policy
         as ngram_jaccard's max_df guard).
+
+    Round-7 reformulation, OUTPUT-IDENTICAL (same lossless group
+    collapse as the rest of the dedup family, proofs in
+    ngram_jaccard_pairs): the signature — hence every band key — is a
+    pure function of the text, so identical texts always co-bucket.
+    Signatures are computed once per distinct text, candidates
+    generated between group reps (census doc-weighted: Σ gsize, so
+    max_bucket/oversize fire on the same buckets as before), then
+    expanded through a (gid, id) row table. Intra-group pairs share
+    all bands; under oversize="drop" they survive exactly while the
+    group still has a surviving bucket.
     """
     if profile is not None:
         max_bucket, oversize = profile.max_bucket, profile.oversize
+    if oversize not in ("join", "drop"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
     rows = num_hashes // bands
-    sig = minhash_signatures_agg(df, id_col, text_col, num_hashes)
+
+    # -- collapse exact-duplicate texts ---------------------------------
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("th"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+    )
+    groups = hashed.groupBy("th").agg(
+        F.min("id").alias("gid"),
+        F.first("text").alias("text"),
+        F.count(F.lit(1)).alias("gsize"),
+    )
+    mem = hashed.select("th", "id").join(
+        groups.select("th", "gid"), "th"
+    ).select("gid", "id")
+
+    sig = minhash_signatures_agg(
+        groups.select(F.col("gid").alias("doc_id"), "text"), "doc_id", "text", num_hashes
+    ).join(groups.select(F.col("gid").alias("id"), "gsize"), "id")
     banded = sig.select(
-        "id",
+        F.col("id").alias("gid"),
+        "gsize",
         F.explode(
             F.array(
                 *[
@@ -229,47 +261,78 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    ).select("gid", "gsize", "bk.band", "bk.key")
 
     if max_bucket is None:
         buckets = (
             banded.groupBy("band", "key")
-            .agg(F.collect_list("id").alias("ids"))
+            .agg(F.collect_list("gid").alias("ids"))
             .filter(F.size("ids") >= 2)
         )
-        return _in_array_pairs(buckets).distinct()
-
-    if oversize not in ("join", "drop"):
-        raise ValueError(f"unknown oversize policy {oversize!r}")
-    # window-count census: ONE shuffle of the banded table (by the
-    # bucket key — the downstream groupBy reuses the partitioning), vs
-    # the aggregate-then-join census which plans the expensive banded
-    # subtree TWICE with no exchange reuse (measured +55% on the
-    # sf0.1 contract query). Oversized groups buffer linearly in the
-    # window (spill-backed) — never a pair explosion.
-    tagged = banded.withColumn(
-        "sz", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-    ).filter(F.col("sz") >= 2)
-    small = (
-        tagged.filter(F.col("sz") <= max_bucket)
-        .groupBy("band", "key")
-        .agg(F.collect_list("id").alias("ids"))
-    )
-    pairs = _in_array_pairs(small)
-    if oversize == "join":
-        big = tagged.filter(F.col("sz") > max_bucket).select("id", "band", "key")
-        big_pairs = (
-            big.alias("l")
-            .join(
-                big.alias("r"),
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.key") == F.col("r.key"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        rep = _in_array_pairs(buckets).distinct()
+        intra_src = groups.filter(F.col("gsize") >= 2).select("gid")
+    else:
+        # window-count census in DOC units (Σ gsize): ONE shuffle of
+        # the banded table (by the bucket key — the downstream groupBy
+        # reuses the partitioning), vs the aggregate-then-join census
+        # which plans the expensive banded subtree TWICE with no
+        # exchange reuse (measured +55% on the sf0.1 contract query).
+        # Oversized groups buffer linearly in the window (spill-backed)
+        # — never a pair explosion.
+        tagged = banded.withColumn(
+            "sz", F.sum("gsize").over(Window.partitionBy("band", "key"))
+        ).filter(F.col("sz") >= 2)
+        small = (
+            tagged.filter(F.col("sz") <= max_bucket)
+            .groupBy("band", "key")
+            .agg(F.collect_list("gid").alias("ids"))
         )
-        pairs = pairs.unionByName(big_pairs)
-    return pairs.distinct()
+        pairs = _in_array_pairs(small)
+        if oversize == "join":
+            big = tagged.filter(F.col("sz") > max_bucket).select("gid", "band", "key")
+            big_pairs = (
+                big.alias("l")
+                .join(
+                    big.alias("r"),
+                    (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.key") == F.col("r.key"))
+                    & (F.col("l.gid") < F.col("r.gid")),
+                )
+                .select(F.col("l.gid").alias("a"), F.col("r.gid").alias("b"))
+            )
+            pairs = pairs.unionByName(big_pairs)
+            intra_src = groups.filter(F.col("gsize") >= 2).select("gid")
+        else:
+            intra_src = (
+                tagged.filter(F.col("sz") <= max_bucket)
+                .join(
+                    groups.filter(F.col("gsize") >= 2).select("gid"),
+                    "gid",
+                    "left_semi",
+                )
+                .select("gid")
+                .distinct()
+            )
+        rep = pairs.distinct()
+
+    # -- expand rep pairs to member pairs (join-based, no hub arrays) ---
+    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
+    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
+    cross = (
+        rep.join(mx, "a")
+        .join(my, "b")
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    mg = mem.select("gid", F.col("id").alias("x"))
+    mh = mem.select("gid", F.col("id").alias("y"))
+    intra = (
+        intra_src.join(mg, "gid")
+        .join(mh, "gid")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+    )
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_pairs(

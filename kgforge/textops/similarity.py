@@ -201,7 +201,21 @@ def embedding_near_dups(
     Defaults since round 5 are the SAFE profile's guard values
     (max_bucket=1024, oversize="join" — output-identical, memory-
     bounded); pass profile=kgforge.profile.PARITY (or max_bucket=None)
-    for the raw unguarded path. `profile` overrides both knobs."""
+    for the raw unguarded path. `profile` overrides both knobs.
+
+    Round-7 reformulation, OUTPUT-IDENTICAL (the same lossless group
+    collapse as the text dedup family, proofs in
+    ngram_jaccard_pairs): buckets and cosine are pure functions of the
+    vector, so EXACT-DUPLICATE VECTORS are collapsed to one
+    representative (keyed by md5 of the vector rendered to string —
+    the identity `dataset_fingerprint` already uses). Candidates and
+    the exact-cosine verify run between group reps only; the census
+    stays DOC-weighted (Σ gsize) so max_bucket/oversize fire on the
+    same buckets as before; member expansion and intra-group pairs
+    (score = round(cosine(v, v), 6), same expression) are join-based
+    over a (gid, id) row table — no membership arrays. Under
+    oversize="drop" a group keeps its intra pairs only while it still
+    has a surviving bucket, exactly the round-6 condition."""
     if profile is not None:
         max_bucket, oversize = profile.max_bucket, profile.oversize
     if oversize not in ("join", "drop"):
@@ -211,7 +225,18 @@ def embedding_near_dups(
         return df.sparkSession.createDataFrame([], "a long, b long, score double")
     dim = len(first[0])
     vec = _as_double(F.col(vec_col))
-    ids = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+
+    # -- collapse exact-duplicate vectors -------------------------------
+    hashed = base.select(F.md5(F.col("v").cast("string")).alias("th"), "id", "v")
+    groups = hashed.groupBy("th").agg(
+        F.min("id").alias("gid"),
+        F.first("v").alias("v"),
+        F.count(F.lit(1)).alias("gsize"),
+    )
+    mem = hashed.select("th", "id").join(
+        groups.select("th", "gid"), "th"
+    ).select("gid", "id")
 
     # one vectorized bucket pass for all tables, then ONE self-join on
     # (tbl, bucket) — the banded-rows formulation (same shape as the
@@ -219,8 +244,8 @@ def embedding_near_dups(
     udf = buckets_udf(
         [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     )
-    banded = ids.select(
-        "id", F.posexplode(udf(F.col("v"))).alias("tbl", "bucket")
+    banded = groups.select(
+        "gid", "gsize", F.posexplode(udf(F.col("v"))).alias("tbl", "bucket")
     )
 
     def _self_join(rows: DataFrame) -> DataFrame:
@@ -230,40 +255,54 @@ def embedding_near_dups(
                 rows.alias("r"),
                 (F.col("l.tbl") == F.col("r.tbl"))
                 & (F.col("l.bucket") == F.col("r.bucket"))
-                & (F.col("l.id") < F.col("r.id")),
+                & (F.col("l.gid") < F.col("r.gid")),
             )
-            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .select(F.col("l.gid").alias("a"), F.col("r.gid").alias("b"))
         )
 
     if max_bucket is None:
         cand = _self_join(banded).distinct()
+        intra_src = groups.filter(F.col("gsize") >= 2).select("gid")
     else:
         from pyspark.sql import Window
 
         from kgforge.textops.dedup import _in_array_pairs
 
-        # window-count census: sizes known before any membership is
-        # collected, in one shuffle (same pattern + rationale as
-        # minhash_lsh_candidates)
+        # window-count census in DOC units (Σ gsize): sizes known
+        # before any membership is collected, in one shuffle (same
+        # pattern + rationale as minhash_lsh_candidates)
         tagged = banded.withColumn(
-            "sz", F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket"))
+            "sz", F.sum("gsize").over(Window.partitionBy("tbl", "bucket"))
         ).filter(F.col("sz") >= 2)
         small = (
             tagged.filter(F.col("sz") <= max_bucket)
             .groupBy("tbl", "bucket")
-            .agg(F.collect_list("id").alias("ids"))
+            .agg(F.collect_list("gid").alias("ids"))
         )
         cand = _in_array_pairs(small)
         if oversize == "join":
             big = tagged.filter(F.col("sz") > max_bucket).select(
-                "id", "tbl", "bucket"
+                "gid", "tbl", "bucket"
             )
             cand = cand.unionByName(_self_join(big))
+            intra_src = groups.filter(F.col("gsize") >= 2).select("gid")
+        else:
+            intra_src = (
+                tagged.filter(F.col("sz") <= max_bucket)
+                .join(
+                    groups.filter(F.col("gsize") >= 2).select("gid"),
+                    "gid",
+                    "left_semi",
+                )
+                .select("gid")
+                .distinct()
+            )
         cand = cand.distinct()
 
-    va = ids.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    vb = ids.select(F.col("id").alias("b"), F.col("v").alias("vb"))
-    pairs = (
+    # -- exact-cosine verify at rep level, then expand ------------------
+    va = groups.select(F.col("gid").alias("a"), F.col("v").alias("va"))
+    vb = groups.select(F.col("gid").alias("b"), F.col("v").alias("vb"))
+    rep = (
         cand.join(va, "a")
         .join(vb, "b")
         .select(
@@ -271,8 +310,36 @@ def embedding_near_dups(
             "b",
             F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
         )
+        .filter(F.col("score") >= threshold)
     )
-    return pairs.filter(F.col("score") >= threshold)
+    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
+    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
+    cross = (
+        rep.join(mx, "a")
+        .join(my, "b")
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "score",
+        )
+        .filter(F.col("a") < F.col("b"))
+    )
+    intra_scored = (
+        intra_src.join(groups.select("gid", "v"), "gid")
+        .select(
+            "gid", F.round(cosine_expr(F.col("v"), F.col("v")), 6).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    mg = mem.select("gid", F.col("id").alias("x"))
+    mh = mem.select("gid", F.col("id").alias("y"))
+    intra = (
+        intra_scored.join(mg, "gid")
+        .join(mh, "gid")
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"), "score")
+    )
+    return cross.unionByName(intra)
 
 
 # ----------------------------------------------------------- ANN index
