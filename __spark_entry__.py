@@ -94,20 +94,30 @@ def q_kg_pkey_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_link_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5: relationship triples with S/R direction swap (orders→customer)."""
+    """G5: relationship triples with S/R direction swap (orders→customer).
+
+    Round-7 shape, output-identical: both directions are built from the
+    SAME (order-IRI, customer-IRI) pair and the preds are constants, so
+    deduping the union of both directions ≡ deduping the narrow IRI
+    pair once and exploding the two directions AFTER the shuffle — the
+    exchange carries half the rows at a third of the width (guide
+    §2.3/§3: explode after, not before, the shuffle)."""
     df = load(spark, sf_dir, "orders")
     o = F.concat(F.lit(DOMAIN + "O_"), F.col("o_orderkey").cast("string"))
     c = F.concat(F.lit(DOMAIN + "C_"), F.col("o_custkey").cast("string"))
+    pairs = df.select(o.alias("o"), c.alias("c")).dropDuplicates(["o", "c"])
     s_dir = F.struct(
-        o.alias("subj"), F.lit(DOMAIN + "placed_by").alias("pred"), c.alias("obj")
+        F.col("o").alias("subj"),
+        F.lit(DOMAIN + "placed_by").alias("pred"),
+        F.col("c").alias("obj"),
     )
     r_dir = F.struct(
-        c.alias("subj"), F.lit(DOMAIN + "placed").alias("pred"), o.alias("obj")
+        F.col("c").alias("subj"),
+        F.lit(DOMAIN + "placed").alias("pred"),
+        F.col("o").alias("obj"),
     )
-    return (
-        df.select(F.explode(F.array(s_dir, r_dir)).alias("t"))
-        .select("t.subj", "t.pred", "t.obj")
-        .dropDuplicates(["subj", "pred", "obj"])
+    return pairs.select(F.explode(F.array(s_dir, r_dir)).alias("t")).select(
+        "t.subj", "t.pred", "t.obj"
     )
 
 
@@ -386,7 +396,15 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G11/T10: typed XSD literals (raw lexical form + datatype tag)."""
+    """G11/T10: typed XSD literals (raw lexical form + datatype tag).
+
+    Round-7 shape, output-identical: `pred`/`obj_dt` are per-branch
+    CONSTANTS, so dropDuplicates(subj, pred, obj, obj_dt) over the
+    exploded union ≡ dropDuplicates(branch, subj, obj) over a narrow
+    branch-tagged row — the dedup exchange then carries a tag byte and
+    two short strings instead of four (two of them long constant IRIs;
+    guide §2.3 "project before the exchange"). The constants are
+    attached after the shuffle."""
     df = load(spark, sf_dir, "lineitem")
     subj = F.concat(
         F.lit(DOMAIN + "LI_"),
@@ -397,21 +415,29 @@ def q_kg_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     xsd_float = "http://www.w3.org/2001/XMLSchema#float"
     xsd_date = "http://www.w3.org/2001/XMLSchema#date"
     t1 = F.struct(
+        F.lit(0).alias("branch"),
         subj.alias("subj"),
-        F.lit(DOMAIN + "quantity").alias("pred"),
         F.col("l_quantity").cast("string").alias("obj"),
-        F.lit(xsd_float).alias("obj_dt"),
     )
     t2 = F.struct(
+        F.lit(1).alias("branch"),
         subj.alias("subj"),
-        F.lit(DOMAIN + "ship_date").alias("pred"),
         F.col("l_shipdate").cast("string").alias("obj"),
-        F.lit(xsd_date).alias("obj_dt"),
     )
-    return (
+    narrow = (
         df.select(F.explode(F.array(t1, t2)).alias("t"))
-        .select("t.subj", "t.pred", "t.obj", "t.obj_dt")
-        .dropDuplicates(["subj", "pred", "obj", "obj_dt"])
+        .select("t.branch", "t.subj", "t.obj")
+        .dropDuplicates(["branch", "subj", "obj"])
+    )
+    return narrow.select(
+        "subj",
+        F.when(F.col("branch") == 0, F.lit(DOMAIN + "quantity"))
+        .otherwise(F.lit(DOMAIN + "ship_date"))
+        .alias("pred"),
+        "obj",
+        F.when(F.col("branch") == 0, F.lit(xsd_float))
+        .otherwise(F.lit(xsd_date))
+        .alias("obj_dt"),
     )
 
 
