@@ -474,9 +474,12 @@ def ngram_jaccard_pairs(
     c = F.greatest(
         F.lit(1), F.floor(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
     )
+    # `u` = elements remaining at/after this prefix slot (n_rare − rk);
+    # carrying (u, n) instead of (rk, n, n_rare) keeps the pair structs
+    # two fields narrower
     prefix = ranked.filter(
         (~F.col("is_common")) & (F.col("rk") <= F.col("n_rare") - c + 1)
-    ).select("gid", "s", "rk", "n", "n_rare")
+    ).select("gid", "s", (F.col("n_rare") - F.col("rk")).alias("u"), "n")
 
     # rare-set arrays + sizes per group (groupBy reuses the gid
     # partitioning established by the window — no extra exchange)
@@ -491,7 +494,7 @@ def ngram_jaccard_pairs(
     # the positional data the PPJoin filter needs --------------------
     buckets = (
         prefix.groupBy("s")
-        .agg(F.collect_list(F.struct("gid", "rk", "n", "n_rare")).alias("es"))
+        .agg(F.collect_list(F.struct("gid", "u", "n")).alias("es"))
         .filter(F.size("es") >= 2)
     ).repartition(n_part)
     es = F.array_sort(F.col("es"))  # struct sort: gid is field 1 → a < b
@@ -503,33 +506,35 @@ def ngram_jaccard_pairs(
                 lambda y: F.struct(
                     x["gid"].alias("a"),
                     y["gid"].alias("b"),
-                    x["rk"].alias("rka"),
-                    y["rk"].alias("rkb"),
+                    x["u"].alias("ua"),
+                    y["u"].alias("ub"),
                     x["n"].alias("na"),
                     y["n"].alias("nb"),
-                    x["n_rare"].alias("nra"),
-                    y["n_rare"].alias("nrb"),
                 ),
             ),
         )
     )
-    occ = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
-    # one aggregate both DEDUPES pairs and finds each pair's
-    # minimum-order match (min rank on both sides = the z element)
-    cand = occ.groupBy("a", "b").agg(
-        F.min("rka").alias("rka"),
-        F.min("rkb").alias("rkb"),
-        F.first("na").alias("na"),
-        F.first("nb").alias("nb"),
-        F.first("nra").alias("nra"),
-        F.first("nrb").alias("nrb"),
-    )
     t_f = float(threshold)
     cpair = F.lit(t_f) / (1.0 + t_f) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
-    cand = cand.filter(
-        (1 + F.least(F.col("nra") - F.col("rka"), F.col("nrb") - F.col("rkb")))
-        >= cpair
-    ).select("a", "b", "na", "nb")
+    pos_ok = (1 + F.least(F.col("ua"), F.col("ub"))) >= cpair
+    # positional filter applied PER OCCURRENCE, before the pair-dedup
+    # shuffle: for a qualifying pair the z occurrence attains BOTH max
+    # remaining-counts, so its individual bound equals the pair-level
+    # bound and it survives; occurrences that fail individually can
+    # never be z of a qualifying pair. The groupBy then re-applies the
+    # test at the pair level (max(u) both sides = the z bound).
+    occ = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .filter(pos_ok)
+    )
+    cand = occ.groupBy("a", "b").agg(
+        F.max("ua").alias("ua"),
+        F.max("ub").alias("ub"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    cand = cand.filter(pos_ok).select("a", "b", "na", "nb")
 
     # -- 3. exact verify + jaccard (identical expression) ---------------
     ra = rsets.select(F.col("gid").alias("a"), F.col("ss").alias("sa"))
