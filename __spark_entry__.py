@@ -1268,22 +1268,15 @@ def q_kg_sparql_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order rotates the driver's correctness window (round-6 verdict
     # item 1): the 10 queries added in rounds 5-6 — previously past the
-    # driver's 50-entry window, judge-oracled only — come FIRST so
-    # CORRECTNESS_r07 driver-signs them; the 10 that drop out of the
-    # window this round are long-stable (driver-green in r04-r06 and
-    # still covered by tools/check_contract.py locally). Every query's
-    # callable and oracle SQL are unchanged.
+    # driver's 50-entry window, judge-oracled only — move to positions
+    # 32-41 so CORRECTNESS_r07 driver-signs them, placed mid-run (not
+    # up front) so no query's bench slot shifts from warm to cold and
+    # round-over-round per-query comparisons stay apples to apples
+    # (kg_melt_part remains the warmup absorber at position 1). The 10
+    # that drop out of the window are long-stable (driver-green in
+    # r04-r06, still covered by tools/check_contract.py locally).
+    # Every query's callable and oracle SQL are unchanged.
     return {
-        "kg_sparql_agg_having": q_kg_sparql_agg_having,
-        "kg_sparql_ask": q_kg_sparql_ask,
-        "kg_sparql_subquery": q_kg_sparql_subquery,
-        "kg_sparql_optional_order": q_kg_sparql_optional_order,
-        "kg_sparql_values_undef": q_kg_sparql_values_undef,
-        "kg_sparql_path_opt": q_kg_sparql_path_opt,
-        "kg_sparql_strfuncs": q_kg_sparql_strfuncs,
-        "kg_sparql_neg_path": q_kg_sparql_neg_path,
-        "kg_sparql_describe": q_kg_sparql_describe,
-        "kg_sparql_termfns": q_kg_sparql_termfns,
         "kg_melt_part": q_kg_melt_part,
         "kg_sanitize_iri": q_kg_sanitize_iri,
         "kg_map_lookup": q_kg_map_lookup,
@@ -1314,6 +1307,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_kg_pipeline": q_web_kg_pipeline,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_multi_source": q_kg_multi_source,
+        "kg_sparql_agg_having": q_kg_sparql_agg_having,
+        "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_optional_order": q_kg_sparql_optional_order,
+        "kg_sparql_values_undef": q_kg_sparql_values_undef,
+        "kg_sparql_path_opt": q_kg_sparql_path_opt,
+        "kg_sparql_strfuncs": q_kg_sparql_strfuncs,
+        "kg_sparql_neg_path": q_kg_sparql_neg_path,
+        "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_termfns": q_kg_sparql_termfns,
         "kg_sparql_version": q_kg_sparql_version,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_optional": q_kg_sparql_optional,
