@@ -399,45 +399,35 @@ def q_kg_typed_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G11/T10: typed XSD literals (raw lexical form + datatype tag).
 
     Round-7 shape, output-identical: `pred`/`obj_dt` are per-branch
-    CONSTANTS, so dropDuplicates(subj, pred, obj, obj_dt) over the
-    exploded union ≡ dropDuplicates(branch, subj, obj) over a narrow
-    branch-tagged row — the dedup exchange then carries a tag byte and
-    two short strings instead of four (two of them long constant IRIs;
-    guide §2.3 "project before the exchange"). The constants are
-    attached after the shuffle."""
+    CONSTANTS, and `subj`/`obj` derive INJECTIVELY from raw columns
+    (subj ← (l_orderkey, l_linenumber) via the unambiguous "_" join;
+    obj ← one cast, which maps equal values to equal strings and
+    distinct values to distinct strings), so dropDuplicates(subj,
+    pred, obj, obj_dt) ≡ per-branch dropDuplicates over the RAW
+    (l_orderkey, l_linenumber, value) tuple — the dedup exchange then
+    carries ~20 raw bytes instead of two built strings plus two long
+    constant IRIs (guide §2.3 "project before the exchange"); all
+    four output strings are built after the shuffle."""
     df = load(spark, sf_dir, "lineitem")
-    subj = F.concat(
-        F.lit(DOMAIN + "LI_"),
-        F.col("l_orderkey").cast("string"),
-        F.lit("_"),
-        F.col("l_linenumber").cast("string"),
-    )
     xsd_float = "http://www.w3.org/2001/XMLSchema#float"
     xsd_date = "http://www.w3.org/2001/XMLSchema#date"
-    t1 = F.struct(
-        F.lit(0).alias("branch"),
-        subj.alias("subj"),
-        F.col("l_quantity").cast("string").alias("obj"),
-    )
-    t2 = F.struct(
-        F.lit(1).alias("branch"),
-        subj.alias("subj"),
-        F.col("l_shipdate").cast("string").alias("obj"),
-    )
-    narrow = (
-        df.select(F.explode(F.array(t1, t2)).alias("t"))
-        .select("t.branch", "t.subj", "t.obj")
-        .dropDuplicates(["branch", "subj", "obj"])
-    )
-    return narrow.select(
-        "subj",
-        F.when(F.col("branch") == 0, F.lit(DOMAIN + "quantity"))
-        .otherwise(F.lit(DOMAIN + "ship_date"))
-        .alias("pred"),
-        "obj",
-        F.when(F.col("branch") == 0, F.lit(xsd_float))
-        .otherwise(F.lit(xsd_date))
-        .alias("obj_dt"),
+
+    def branch(val_col: str, pred: str, dt: str) -> DataFrame:
+        d = df.select("l_orderkey", "l_linenumber", val_col).dropDuplicates()
+        return d.select(
+            F.concat(
+                F.lit(DOMAIN + "LI_"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("_"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.col(val_col).cast("string").alias("obj"),
+            F.lit(dt).alias("obj_dt"),
+        )
+
+    return branch("l_quantity", DOMAIN + "quantity", xsd_float).unionByName(
+        branch("l_shipdate", DOMAIN + "ship_date", xsd_date)
     )
 
 

@@ -501,11 +501,29 @@ def ngram_jaccard_pairs(
         .filter(F.size("es") >= 2)
     ).repartition(n_part)
     es = F.array_sort(F.col("es"))  # struct sort: gid is field 1 → a < b
+    t_f = float(threshold)
+    # positional filter applied PER OCCURRENCE, INSIDE the pair-array
+    # construction (the lambda filters partners before the struct is
+    # built, so the generate emits 2.4e6 surviving structs instead of
+    # materializing all 2.08e7 and filtering after — same predicate,
+    # same survivors): for a qualifying pair the z occurrence attains
+    # BOTH max remaining-counts, so its individual bound equals the
+    # pair-level bound and it survives; occurrences that fail
+    # individually can never be z of a qualifying pair. The groupBy
+    # then re-applies the test at the pair level (max(u) both sides =
+    # the z bound).
     pair_structs = F.flatten(
         F.transform(
             es,
             lambda x, i: F.transform(
-                F.slice(es, i + F.lit(2), F.size(es)),
+                F.filter(
+                    F.slice(es, i + F.lit(2), F.size(es)),
+                    lambda y: (1 + F.least(x["u"], y["u"]))
+                    >= (
+                        F.lit(t_f) / (1.0 + t_f) * (x["n"] + y["n"])
+                        - F.lit(1e-9)
+                    ),
+                ),
                 lambda y: F.struct(
                     x["gid"].alias("a"),
                     y["gid"].alias("b"),
@@ -517,27 +535,29 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    t_f = float(threshold)
     cpair = F.lit(t_f) / (1.0 + t_f) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
     pos_ok = (1 + F.least(F.col("ua"), F.col("ub"))) >= cpair
-    # positional filter applied PER OCCURRENCE, before the pair-dedup
-    # shuffle: for a qualifying pair the z occurrence attains BOTH max
-    # remaining-counts, so its individual bound equals the pair-level
-    # bound and it survives; occurrences that fail individually can
-    # never be z of a qualifying pair. The groupBy then re-applies the
-    # test at the pair level (max(u) both sides = the z bound).
-    occ = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.*")
-        .filter(pos_ok)
-    )
+    occ = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
+    # Pair-level bounds, both lossless: (1) the z bound again —
+    # max(u) both sides is exactly the bound at the first shared
+    # prefix element; (2) the LAST-position bound (PPJoin's running-
+    # overlap refinement): every common element is either a shared
+    # prefix occurrence (cnt of them) or sits strictly after the LAST
+    # shared prefix element in both sorted rare lists, so
+    # inter ≤ cnt + min(min(ua), min(ub)) — min(u) is the remaining
+    # count at that last shared slot. Pairs failing either bound
+    # cannot reach the threshold and skip the array-intersect verify.
     cand = occ.groupBy("a", "b").agg(
         F.max("ua").alias("ua"),
         F.max("ub").alias("ub"),
+        F.min("ua").alias("mua"),
+        F.min("ub").alias("mub"),
+        F.count(F.lit(1)).alias("cnt"),
         F.first("na").alias("na"),
         F.first("nb").alias("nb"),
     )
-    cand = cand.filter(pos_ok).select("a", "b", "na", "nb")
+    last_ok = (F.col("cnt") + F.least(F.col("mua"), F.col("mub"))) >= cpair
+    cand = cand.filter(pos_ok & last_ok).select("a", "b", "na", "nb")
 
     # -- 3. exact verify + jaccard (identical expression) ---------------
     ra = rsets.select(F.col("gid").alias("a"), F.col("ss").alias("sa"))
@@ -606,16 +626,35 @@ _SIMHASH_BITS = 60
 _CHUNK_BITS = 15  # 4 chunks × 15 bits; pigeonhole for hamming ≤ 3
 
 
+# Packed-lane bit counting (round-7): two bit-counters of _LANE_BITS
+# share one packed long, so the per-doc aggregate is 30 packed sums +
+# a count instead of 60 conditional sums. A lane holds counts up to
+# 2^30−1; a JVM string is capped at 2 GiB, so one document can never
+# reach 2^30 whitespace tokens and lane overflow is impossible by
+# construction — the packed path is exact for every representable
+# input, no fallback branch needed.
+_LANES = 2
+_LANE_BITS = 30
+_LANE_CAP = (1 << _LANE_BITS) - 1
+_N_PACKED = _SIMHASH_BITS // _LANES  # 30 packed sums
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash:long) — pure JVM column expressions.
 
     Formulation (replaces the round-1 per-row Python loop, which was
     the engine's only row-at-a-time hot path — 6.07s vs 0.69s for
     exact dedup at sf0.1): explode whitespace tokens, md5 each token
-    ONCE, take 60 bits via conv(hex,16,10), then one hash-aggregate
-    with 60 conditional-sum bit counters and recombine the sign bits
-    into the signature. The groupBy(id) carries a map-side partial
-    aggregate, so the shuffle is one row of 60 ints per document.
+    ONCE, take 60 bits via conv(hex,16,10), then ONE hash-aggregate of
+    packed-lane bit counters: bits 2j and 2j+1 of the token hash land
+    in the two 30-bit lanes of packed long j, and summing those longs
+    sums both counters at once (30 packed sums + count vs the former
+    60 conditional sums — narrower shuffle rows, half the aggregation
+    hashmap updates). Bit b of the signature is set iff 2·count_b > n
+    — the identical sign rule (sum(±1) > 0 ⇔ 2·count − n > 0), so
+    signatures are bit-identical. A 30-bit lane holds counts to 2^30−1
+    and a 2 GiB JVM string can never split into that many tokens, so
+    lane overflow is impossible for any representable document.
 
     Empty/whitespace-only documents hash to 0 (no tokens, no bits).
     """
@@ -625,17 +664,34 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         .filter(F.col("tok") != "")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.select("id", h.alias("h"))
+
+    # per-row packed spread: bit 3j+l of h lands in lane l (bit
+    # position 20·l) of packed long j — pure shift/mask arithmetic
+    def _spread(j: int) -> Column:
+        acc = None
+        for lane in range(_LANES):
+            b = _LANES * j + lane
+            term = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)),
+                _LANE_BITS * lane,
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
+    spreads = [_spread(j) for j in range(_N_PACKED)]
     sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(_SIMHASH_BITS)
-        ]
+        *[F.sum(spreads[j]).alias(f"p{j}") for j in range(_N_PACKED)],
+        F.count(F.lit(1)).alias("n"),
     )
+
     sig = None
     for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+        j, lane = divmod(b, _LANES)
+        cnt = F.shiftright(F.col(f"p{j}"), _LANE_BITS * lane).bitwiseAND(
+            F.lit(_LANE_CAP)
+        )
+        term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term

@@ -300,16 +300,50 @@ def embedding_near_dups(
         cand = cand.distinct()
 
     # -- exact-cosine verify at rep level, then expand ------------------
-    va = groups.select(F.col("gid").alias("a"), F.col("v").alias("va"))
-    vb = groups.select(F.col("gid").alias("b"), F.col("v").alias("vb"))
+    # Per-VECTOR quantities are computed once per group and attached to
+    # the pair instead of re-folding per pair (guide §1.2 per-task
+    # work): the norm folds are 2 of cosine_expr's 3 array aggregates,
+    # and the float expression is unchanged (same ops on the same
+    # values → identical score). The normalized lead coordinates feed
+    # a LOSSLESS prefilter: round(cos,6) ≥ t needs cos ≥ t − 5e-7, and
+    # for unit-normalized â, b̂: ‖â−b̂‖² = 2−2·cos, so every surviving
+    # pair has (â_i−b̂_i)² ≤ 2−2(t−5e-7) in EVERY coordinate — pairs
+    # failing that on a lead coordinate cannot reach the threshold and
+    # skip the 64-element dot fold entirely (zero-norm vectors score
+    # 0.0 < t and are dropped either way; the prefilter is only armed
+    # for t > 0, since at t ≤ 0 zero-norm pairs must survive).
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    gv = groups.select("gid", "v", norm.alias("nv"))
+    n_pref = min(dim, 2)
+    pref = [
+        (F.get(F.col("v"), i) / F.col("nv")).alias(f"c{i}") for i in range(n_pref)
+    ]
+    va = gv.select(
+        F.col("gid").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"),
+        *[p.alias(f"ca{i}") for i, p in enumerate(pref)],
+    )
+    vb = gv.select(
+        F.col("gid").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"),
+        *[p.alias(f"cb{i}") for i, p in enumerate(pref)],
+    )
+    paired = cand.join(va, "a").join(vb, "b")
+    if threshold > 0:
+        eps2 = F.lit(2.0 * (1.0 - (float(threshold) - 5e-7)) + 1e-9)
+        for i in range(n_pref):
+            d = F.col(f"ca{i}") - F.col(f"cb{i}")
+            paired = paired.filter(
+                (F.col("na") > 0) & (F.col("nb") > 0) & (d * d <= eps2)
+            )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))
+    ).otherwise(F.lit(0.0))
     rep = (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
-        )
+        paired.select("a", "b", F.round(cos, 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )
     mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))

@@ -205,6 +205,48 @@ def _triple_struct(s: Column, p: Column, o: Column, dt: Column) -> Column:
     )
 
 
+_TAGGED_SCHEMA = T.StructType(
+    [
+        T.StructField("tidx", T.IntegerType(), False),
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+    ]
+)
+
+
+def _template_pred_dt(p_t: Term, o_t: Term) -> tuple[str, str | None] | None:
+    """(pred value, obj_dt value) when BOTH are per-template constants,
+    else None. obj_dt is a constant for every term kind (term_expr
+    returns a literal dt in all branches); pred is constant exactly for
+    const kinds."""
+    if p_t.kind not in ("const_iri", "const_lit"):
+        return None
+    if o_t.kind in ("const_iri", "iri", "rowindex_iri"):
+        dt: str | None = None
+    else:  # const_lit / lit
+        dt = o_t.dt if o_t.dt is not None else ""
+    return p_t.value, dt
+
+
+def constant_template_terms(spec: MappingSpec) -> list[tuple[str, str | None]] | None:
+    """Per-template (pred, obj_dt) constants, in global template order,
+    when the spec qualifies for the tagged-dedup narrowing: every
+    template's pred AND obj_dt are constants, and the (pred, obj_dt)
+    pairs are pairwise DISTINCT — then an output triple determines its
+    template, so dedup on (template, subj, obj) is dedup on the triple.
+    None when any template disqualifies (the wide path is used)."""
+    out: list[tuple[str, str | None]] = []
+    for rule in spec.rules:
+        for _, p_t, o_t in rule.templates:
+            pd = _template_pred_dt(p_t, o_t)
+            if pd is None:
+                return None
+            out.append(pd)
+    if len(set(out)) != len(out):
+        return None
+    return out
+
+
 def rule_triples_array(rule: Rule, df_cols: dict[str, Column]) -> Column:
     """Build `array<struct<subj,pred,obj,obj_dt>>` for one rule.
 
@@ -276,6 +318,73 @@ def rule_triples_array(rule: Rule, df_cols: dict[str, Column]) -> Column:
     return F.when(guard, arr).otherwise(F.array().cast(T.ArrayType(TRIPLE_SCHEMA)))
 
 
+def rule_tagged_array(rule: Rule, df_cols: dict[str, Column], base: int) -> Column:
+    """`array<struct<tidx,subj,obj>>` for one rule — the narrow form
+    used when every template's pred/obj_dt are constants
+    (constant_template_terms): the constants are NOT evaluated per row;
+    `tidx` (= base + template offset, global template order) stands in
+    for them until after the dedup exchange. Guard/split semantics
+    identical to rule_triples_array."""
+    raw: Column | None = None
+    new: Column | None = None
+    if rule.column is not None:
+        raw = F.coalesce(df_cols[rule.column], F.lit(""))
+        if rule.pre_sanitize is not None:
+            raw = sanitize_expr(raw, rule.pre_sanitize)
+        new = transform_expr(raw, rule.transform)
+        if rule.transform.miss == "error":
+            m = miss_expr(raw, rule.transform)
+            if m is not None:
+                new = F.when(
+                    guard_expr(rule, raw) & m,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"map lookup miss (strict policy, rule "
+                                f"{rule.rule_id}): "
+                            ),
+                            raw,
+                        )
+                    ),
+                ).otherwise(new)
+    pkey = df_cols.get("__pkey__")
+    rowindex = df_cols.get("__rowindex__")
+    guard = guard_expr(rule, raw)
+
+    def tagged(s_t: Term, o_t: Term, off: int, token: Column | None) -> Column:
+        sv, _ = term_expr(
+            s_t, raw=raw, new=new, pkey=pkey, token=token, rowindex=rowindex
+        )
+        ov, _ = term_expr(
+            o_t, raw=raw, new=new, pkey=pkey, token=token, rowindex=rowindex
+        )
+        return F.struct(
+            F.lit(base + off).alias("tidx"), sv.alias("subj"), ov.alias("obj")
+        )
+
+    if rule.split_tokens:
+        assert raw is not None
+        arr = F.flatten(
+            F.transform(
+                F.split(raw, " "),
+                lambda tok: F.array(
+                    *[
+                        tagged(s_t, o_t, off, tok)
+                        for off, (s_t, _, o_t) in enumerate(rule.templates)
+                    ]
+                ),
+            )
+        )
+    else:
+        arr = F.array(
+            *[
+                tagged(s_t, o_t, off, None)
+                for off, (s_t, _, o_t) in enumerate(rule.templates)
+            ]
+        )
+    return F.when(guard, arr).otherwise(F.array().cast(T.ArrayType(_TAGGED_SCHEMA)))
+
+
 def emit_triples(
     df: DataFrame,
     spec: MappingSpec,
@@ -309,6 +418,38 @@ def emit_triples(
                 "(use kgforge.io.read.read_csv_with_rowindex)"
             )
         cols["__rowindex__"] = F.col("__rowindex__")
+
+    consts = constant_template_terms(spec) if dedup and not prov_cols else None
+    if consts is not None:
+        # Tagged narrow dedup (round-7, guide §2.3 "project before the
+        # exchange"): every template's pred/obj_dt are constants with
+        # pairwise-distinct (pred, obj_dt), so an output triple
+        # determines its template and dropDuplicates(tidx, subj, obj)
+        # ≡ dropDuplicates(subj, pred, obj, obj_dt). The dedup exchange
+        # carries an int tag instead of the (long, constant) pred IRI +
+        # datatype strings, which are attached after the shuffle.
+        arrays = []
+        base = 0
+        for rule in spec.rules:
+            arrays.append(rule_tagged_array(rule, cols, base))
+            base += len(rule.templates)
+        all_tagged = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+        narrow = (
+            df.select(F.explode(all_tagged).alias("t"))
+            .select("t.tidx", "t.subj", "t.obj")
+            .dropDuplicates(["tidx", "subj", "obj"])
+        )
+        null_dt = F.lit(None).cast("string")
+        pred_expr: Column = F.lit(consts[-1][0])
+        dt_expr: Column = F.lit(consts[-1][1]) if consts[-1][1] is not None else null_dt
+        for i in range(len(consts) - 2, -1, -1):
+            p, dtv = consts[i]
+            dv = F.lit(dtv) if dtv is not None else null_dt
+            pred_expr = F.when(F.col("tidx") == i, F.lit(p)).otherwise(pred_expr)
+            dt_expr = F.when(F.col("tidx") == i, dv).otherwise(dt_expr)
+        return narrow.select(
+            "subj", pred_expr.alias("pred"), "obj", dt_expr.alias("obj_dt")
+        )
 
     arrays = [rule_triples_array(rule, cols) for rule in spec.rules]
     all_triples = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
