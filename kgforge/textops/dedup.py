@@ -242,9 +242,26 @@ def minhash_lsh_candidates(
         groups.select("th", "gid"), "th"
     ).select("gid", "id")
 
-    sig = minhash_signatures_agg(
-        groups.select(F.col("gid").alias("doc_id"), "text"), "doc_id", "text", num_hashes
-    ).join(groups.select(F.col("gid").alias("id"), "gsize"), "id")
+    # signatures per distinct text, with gsize riding the shingle
+    # explode + signature aggregate as a first() — no second join
+    # against the groups subtree (same split-once/spread shape as
+    # shingle_rows, one extra carried int column)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    t = groups.select("gid", "gsize", "text").repartition(n_part).select(
+        "gid", "gsize", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    sh = t.select(
+        "gid",
+        "gsize",
+        F.explode(F.array_distinct(_shingles_of_tokens(F.col("toks"), 5))).alias("s"),
+    )
+    sig = sh.groupBy("gid").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+        F.first("gsize").alias("gsize"),
+    ).withColumnRenamed("gid", "id")
     banded = sig.select(
         F.col("id").alias("gid"),
         "gsize",
@@ -485,8 +502,16 @@ def ngram_jaccard_pairs(
     ).select("gid", "s", (F.col("n_rare") - F.col("rk")).alias("u"), "n")
 
     # rare-set arrays + sizes per group (groupBy reuses the gid
-    # partitioning established by the window — no extra exchange)
+    # partitioning established by the window — no extra exchange).
+    # The arrays hold xxhash64 of each rare shingle, not the string:
+    # the tier-1 verify intersects these narrow long arrays, and a
+    # 64-bit collision can only INFLATE that intersection — tier 2
+    # recomputes the exact count on the true strings for the tiny
+    # surviving set, so the output is exact for every input.
     rsets = ranked.groupBy("gid").agg(
+        F.collect_list(F.when(~F.col("is_common"), F.xxhash64(F.col("s")))).alias(
+            "hs"
+        ),
         F.collect_list(F.when(~F.col("is_common"), F.col("s"))).alias("ss"),
         F.first("n").alias("n"),
         F.first("n_rare").alias("n_rare"),
@@ -559,12 +584,38 @@ def ngram_jaccard_pairs(
     last_ok = (F.col("cnt") + F.least(F.col("mua"), F.col("mub"))) >= cpair
     cand = cand.filter(pos_ok & last_ok).select("a", "b", "na", "nb")
 
-    # -- 3. exact verify + jaccard (identical expression) ---------------
-    ra = rsets.select(F.col("gid").alias("a"), F.col("ss").alias("sa"))
-    rb = rsets.select(F.col("gid").alias("b"), F.col("ss").alias("sb"))
-    scored = (
+    # -- 3. two-tier exact verify + jaccard -----------------------------
+    # Tier 1 (cheap, lossless REJECT): intersect the per-group arrays
+    # of xxhash64'd rare shingles. |hash(A) ∩ hash(B)| ≥ |A ∩ B| —
+    # distinct shingles can only collide INTO the same hash, never out
+    # of it — so any pair whose hash-intersection already fails the
+    # threshold can be dropped exactly, and that is ~all of them. Long
+    # arrays are ~2.5× narrower than the shingle strings and the
+    # intersection compares 8-byte values.
+    ra = rsets.select(F.col("gid").alias("a"), F.col("hs").alias("ha"))
+    rb = rsets.select(F.col("gid").alias("b"), F.col("hs").alias("hb"))
+    t1 = (
         cand.join(ra, "a")
         .join(rb, "b")
+        .withColumn("ih", F.size(F.array_intersect("ha", "hb")).cast("long"))
+        .filter(F.col("ih") >= 1)
+        .filter(
+            F.col("ih").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ih")).cast("double")
+            >= threshold
+        )
+        .select("a", "b", "na", "nb")
+    )
+    # Tier 2 (exact, tiny input — the true positives plus any 64-bit
+    # collision survivors): intersect the actual shingle-string arrays
+    # for the t1 survivors and apply the identical jaccard expression.
+    # t1 scales with the true near-dup rep pairs, so AQE broadcasts it
+    # and the string arrays stream join-side without a wide shuffle.
+    sa = rsets.select(F.col("gid").alias("a"), F.col("ss").alias("sa"))
+    sb = rsets.select(F.col("gid").alias("b"), F.col("ss").alias("sb"))
+    scored = (
+        t1.join(sa, "a")
+        .join(sb, "b")
         .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
         .filter(F.col("inter") >= 1)
         .select(
@@ -658,6 +709,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Empty/whitespace-only documents hash to 0 (no tokens, no bits).
     """
+    with_sig = _simhash_core(df, id_col, text_col)
+    # docs whose every token was filtered (empty text) must still get a
+    # signature (0), like the reference formulation
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(with_sig, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
+def _simhash_core(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) for documents with ≥1 token — the aggregate heart
+    of `simhash`, without the all-ids re-attach (callers that already
+    hold a unique-id table left-join this and coalesce to 0)."""
     toks = (
         tokenized(df, id_col, text_col)
         .select("id", F.explode("toks").alias("tok"))
@@ -695,13 +759,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig + term
-    with_sig = sums.select("id", sig.alias("simhash"))
-    # docs whose every token was filtered (empty text) must still get a
-    # signature (0), like the reference formulation
-    all_ids = df.select(F.col(id_col).alias("id")).distinct()
-    return all_ids.join(with_sig, "id", "left").select(
-        "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
-    )
+    return sums.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
@@ -790,12 +848,18 @@ def simhash_near_dups(
     ).select("gid", "id")
 
     # -- signatures per distinct text -----------------------------------
-    gsig = simhash(
+    # gids are unique (min-id per text hash), so the empty-doc
+    # re-attach left-joins the groups table DIRECTLY — gsize rides that
+    # one join instead of a second pass over the groups subtree, and
+    # the distinct() inside simhash() is skipped
+    core = _simhash_core(
         groups.select(F.col("gid").alias("doc_id"), "text"), "doc_id", "text"
     ).withColumnRenamed("id", "gid")
+    gsig = groups.select("gid", "gsize").join(core, "gid", "left").select(
+        "gid", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"), "gsize"
+    )
     if drop_zero:
         gsig = gsig.filter(F.col("simhash") != 0)
-    gsig = gsig.join(groups.select("gid", "gsize"), "gid")
 
     chunks = gsig.select(
         "gid",
