@@ -148,18 +148,23 @@ def _in_array_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
     it to a couple of partitions — and then the C(n,2) explosion runs
     on 2 tasks instead of 32 (measured: the embedding guard's pair
     stage at 2×10M shuffle-write records per task). Row size is a bad
-    proxy for explode cost; spread the buckets first."""
+    proxy for explode cost; spread the buckets first. The array is
+    SORTED in its own projection BELOW the exchange — referenced
+    inside the pair lambdas it would re-sort once per element
+    (Catalyst does no CSE across lambda bodies; same hazard as the
+    tokenizer split, see _shingles_of_tokens)."""
     n_part = int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    buckets = buckets.repartition(n_part)
-    ids_sorted = F.array_sort(F.col(ids_col))
-    pair_structs = F.flatten(
-        F.transform(
-            ids_sorted,
-            lambda x, i: F.transform(
-                F.slice(ids_sorted, i + F.lit(2), F.size(ids_sorted)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    buckets = buckets.select(
+        F.array_sort(F.col(ids_col)).alias("__ids")
+    ).repartition(n_part)
+    # one server-side-parsed expression: the Column-API spelling of
+    # this nested lambda costs dozens of py4j round trips per plan
+    # construction (measured ~1.5-2 s of bench time per dedup query
+    # across such sites)
+    pair_structs = F.expr(
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids)), "
+        "y -> struct(x AS a, y AS b))))"
     )
     return buckets.select(F.explode(pair_structs).alias("p")).select("p.a", "p.b")
 
@@ -262,22 +267,16 @@ def minhash_lsh_candidates(
         ],
         F.first("gsize").alias("gsize"),
     ).withColumnRenamed("gid", "id")
+    band_arr = ", ".join(
+        "struct({b} AS band, concat_ws('|', {hs}) AS key)".format(
+            b=b, hs=", ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
     banded = sig.select(
         F.col("id").alias("gid"),
         "gsize",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.expr(f"array({band_arr})")).alias("bk"),
     ).select("gid", "gsize", "bk.band", "bk.key")
 
     if max_bucket is None:
@@ -333,21 +332,21 @@ def minhash_lsh_candidates(
         rep = pairs.distinct()
 
     # -- expand rep pairs to member pairs (join-based, no hub arrays) ---
-    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
-    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
+    mx = mem.selectExpr("gid AS a", "id AS x")
+    my = mem.selectExpr("gid AS b", "id AS y")
     cross = (
         rep.join(mx, "a")
         .join(my, "b")
-        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-        .filter(F.col("a") < F.col("b"))
+        .selectExpr("least(x, y) AS a", "greatest(x, y) AS b")
+        .filter("a < b")
     )
-    mg = mem.select("gid", F.col("id").alias("x"))
-    mh = mem.select("gid", F.col("id").alias("y"))
+    mg = mem.selectExpr("gid", "id AS x")
+    mh = mem.selectExpr("gid", "id AS y")
     intra = (
         intra_src.join(mg, "gid")
         .join(mh, "gid")
-        .filter(F.col("x") < F.col("y"))
-        .select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .filter("x < y")
+        .selectExpr("x AS a", "y AS b")
     )
     return cross.unionByName(intra)
 
@@ -520,12 +519,16 @@ def ngram_jaccard_pairs(
     # -- candidates: rep pairs sharing a PREFIX shingle (buckets are
     # bounded by df_s ≤ max_df, as before), each occurrence carrying
     # the positional data the PPJoin filter needs --------------------
+    # the struct array is sorted in its own projection BELOW the
+    # repartition exchange: referenced inside the pair lambdas the
+    # sort would re-run once per element (no CSE across lambda bodies)
     buckets = (
         prefix.groupBy("s")
-        .agg(F.collect_list(F.struct("gid", "u", "n")).alias("es"))
-        .filter(F.size("es") >= 2)
+        .agg(F.collect_list(F.struct("gid", "u", "n")).alias("es0"))
+        .filter(F.size("es0") >= 2)
+        .select(F.array_sort("es0").alias("es"))  # gid is field 1 → a < b
     ).repartition(n_part)
-    es = F.array_sort(F.col("es"))  # struct sort: gid is field 1 → a < b
+    es = F.col("es")
     t_f = float(threshold)
     # positional filter applied PER OCCURRENCE, INSIDE the pair-array
     # construction (the lambda filters partners before the struct is
@@ -537,28 +540,14 @@ def ngram_jaccard_pairs(
     # individually can never be z of a qualifying pair. The groupBy
     # then re-applies the test at the pair level (max(u) both sides =
     # the z bound).
-    pair_structs = F.flatten(
-        F.transform(
-            es,
-            lambda x, i: F.transform(
-                F.filter(
-                    F.slice(es, i + F.lit(2), F.size(es)),
-                    lambda y: (1 + F.least(x["u"], y["u"]))
-                    >= (
-                        F.lit(t_f) / (1.0 + t_f) * (x["n"] + y["n"])
-                        - F.lit(1e-9)
-                    ),
-                ),
-                lambda y: F.struct(
-                    x["gid"].alias("a"),
-                    y["gid"].alias("b"),
-                    x["u"].alias("ua"),
-                    y["u"].alias("ub"),
-                    x["n"].alias("na"),
-                    y["n"].alias("nb"),
-                ),
-            ),
-        )
+    pair_structs = F.expr(
+        "flatten(transform(es, (x, i) -> "
+        "transform("
+        f"filter(slice(es, i + 2, size(es)), "
+        f"y -> (1 + least(x.u, y.u)) >= "
+        f"(CAST({t_f!r} AS DOUBLE) / {1.0 + t_f!r} * (x.n + y.n) - 1e-9)), "
+        "y -> struct(x.gid AS a, y.gid AS b, x.u AS ua, y.u AS ub, "
+        "x.n AS na, y.n AS nb))))"
     )
     cpair = F.lit(t_f) / (1.0 + t_f) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
     pos_ok = (1 + F.least(F.col("ua"), F.col("ub"))) >= cpair
@@ -631,17 +620,13 @@ def ngram_jaccard_pairs(
 
     # -- expand rep pairs to member cross-products (join-based — one
     # member row at a time, no hub arrays) ------------------------------
-    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
-    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
+    mx = mem.selectExpr("gid AS a", "id AS x")
+    my = mem.selectExpr("gid AS b", "id AS y")
     cross = (
         scored.join(mx, "a")
         .join(my, "b")
-        .select(
-            F.least("x", "y").alias("a"),
-            F.greatest("x", "y").alias("b"),
-            "jaccard",
-        )
-        .filter(F.col("a") < F.col("b"))
+        .selectExpr("least(x, y) AS a", "greatest(x, y) AS b", "jaccard")
+        .filter("a < b")
     )
 
     # -- intra-group pairs: inter = n_rare, sizes equal -----------------
@@ -658,13 +643,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("gid", "jaccard")
     )
-    mg = mem.select("gid", F.col("id").alias("x"))
-    mh = mem.select("gid", F.col("id").alias("y"))
+    mg = mem.selectExpr("gid", "id AS x")
+    mh = mem.selectExpr("gid", "id AS y")
     intra_pairs = (
         intra.join(mg, "gid")
         .join(mh, "gid")
-        .filter(F.col("x") < F.col("y"))
-        .select(F.col("x").alias("a"), F.col("y").alias("b"), "jaccard")
+        .filter("x < y")
+        .selectExpr("x AS a", "y AS b", "jaccard")
     )
     return cross.unionByName(intra_pairs)
 
@@ -730,35 +715,35 @@ def _simhash_core(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     toks = toks.select("id", h.alias("h"))
 
-    # per-row packed spread: bit 3j+l of h lands in lane l (bit
-    # position 20·l) of packed long j — pure shift/mask arithmetic
+    # per-row packed spread: bit 2j+l of h lands in lane l (bit
+    # position 30·l) of packed long j — pure shift/mask arithmetic.
+    # Both the spreads and the signature recombination are composed as
+    # SQL strings and parsed server-side in ONE call each: building
+    # the same trees through the Column API costs hundreds of py4j
+    # round trips (~1.5 s of pure plan-construction per query).
     def _spread(j: int) -> Column:
-        acc = None
+        terms = []
         for lane in range(_LANES):
             b = _LANES * j + lane
-            term = F.shiftleft(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)),
-                _LANE_BITS * lane,
-            )
-            acc = term if acc is None else acc + term
-        return acc
+            t = f"(shiftright(h, {b}) & 1)"
+            if lane:
+                t = f"shiftleft({t}, {_LANE_BITS * lane})"
+            terms.append(t)
+        return F.expr(" + ".join(terms))
 
-    spreads = [_spread(j) for j in range(_N_PACKED)]
     sums = toks.groupBy("id").agg(
-        *[F.sum(spreads[j]).alias(f"p{j}") for j in range(_N_PACKED)],
+        *[F.sum(_spread(j)).alias(f"p{j}") for j in range(_N_PACKED)],
         F.count(F.lit(1)).alias("n"),
     )
 
-    sig = None
+    sig_terms = []
     for b in range(_SIMHASH_BITS):
         j, lane = divmod(b, _LANES)
-        cnt = F.shiftright(F.col(f"p{j}"), _LANE_BITS * lane).bitwiseAND(
-            F.lit(_LANE_CAP)
+        cnt = f"(shiftright(p{j}, {_LANE_BITS * lane}) & {_LANE_CAP})"
+        sig_terms.append(
+            f"IF({cnt} * 2 > n, CAST({1 << b} AS BIGINT), CAST(0 AS BIGINT))"
         )
-        term = F.when(cnt * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
+    sig = F.expr(" + ".join(sig_terms))
     return sums.select("id", sig.alias("simhash"))
 
 
@@ -861,23 +846,17 @@ def simhash_near_dups(
     if drop_zero:
         gsig = gsig.filter(F.col("simhash") != 0)
 
+    mask = (1 << _CHUNK_BITS) - 1
+    chunk_arr = ", ".join(
+        f"struct({c} AS chunk, "
+        f"shiftright(simhash, {c * _CHUNK_BITS}) & {mask} AS ck)"
+        for c in range(4)
+    )
     chunks = gsig.select(
         "gid",
         "simhash",
         "gsize",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * _CHUNK_BITS)
-                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
-                        .alias("ck"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("b"),
+        F.explode(F.expr(f"array({chunk_arr})")).alias("b"),
     ).select("gid", "simhash", "gsize", "b.chunk", "b.ck")
 
     def _self_join(rows: DataFrame) -> DataFrame:
@@ -913,24 +892,18 @@ def simhash_near_dups(
         small = (
             tagged.filter(F.col("sz") <= max_bucket)
             .groupBy("chunk", "ck")
-            .agg(F.collect_list(F.struct("gid", "simhash")).alias("mem"))
+            .agg(F.collect_list(F.struct("gid", "simhash")).alias("mem0"))
+            # sort below the exchange, not inside the pair lambdas
+            # (no CSE across lambda bodies); gid is field 1 → a < b
+            .select(F.array_sort("mem0").alias("mem"))
         )
         # spread before the C(n,2) explosion (see _in_array_pairs)
         small = small.repartition(n_part)
-        m = F.array_sort(F.col("mem"))  # struct sort: gid is field 1 → a < b
-        pair_structs = F.flatten(
-            F.transform(
-                m,
-                lambda x, i: F.transform(
-                    F.slice(m, i + F.lit(2), F.size(m)),
-                    lambda y: F.struct(
-                        x["gid"].alias("a"),
-                        y["gid"].alias("b"),
-                        x["simhash"].alias("ha"),
-                        y["simhash"].alias("hb"),
-                    ),
-                ),
-            )
+        pair_structs = F.expr(
+            "flatten(transform(mem, (x, i) -> "
+            "transform(slice(mem, i + 2, size(mem)), "
+            "y -> struct(x.gid AS a, y.gid AS b, "
+            "x.simhash AS ha, y.simhash AS hb))))"
         )
         cand = (
             small.select(F.explode(pair_structs).alias("p"))
@@ -958,29 +931,21 @@ def simhash_near_dups(
     # -- expand rep pairs to member pairs (join-based) ------------------
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     rep = rep.select("a", "b", ham.alias("hamming"))
-    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
-    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
+    mx = mem.selectExpr("gid AS a", "id AS x")
+    my = mem.selectExpr("gid AS b", "id AS y")
     cross = (
         rep.join(mx, "a")
         .join(my, "b")
-        .select(
-            F.least("x", "y").alias("a"),
-            F.greatest("x", "y").alias("b"),
-            "hamming",
-        )
-        .filter(F.col("a") < F.col("b"))
+        .selectExpr("least(x, y) AS a", "greatest(x, y) AS b", "hamming")
+        .filter("a < b")
     )
-    mg = mem.select("gid", F.col("id").alias("x"))
-    mh = mem.select("gid", F.col("id").alias("y"))
+    mg = mem.selectExpr("gid", "id AS x")
+    mh = mem.selectExpr("gid", "id AS y")
     intra = (
         intra_src.join(mg, "gid")
         .join(mh, "gid")
-        .filter(F.col("x") < F.col("y"))
-        .select(
-            F.col("x").alias("a"),
-            F.col("y").alias("b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+        .filter("x < y")
+        .selectExpr("x AS a", "y AS b", "CAST(0 AS INT) AS hamming")
     )
     out = cross.unionByName(intra)
     return out.filter(F.col("hamming") <= max_hamming)

@@ -312,7 +312,10 @@ def embedding_near_dups(
     # skip the 64-element dot fold entirely (zero-norm vectors score
     # 0.0 < t and are dropped either way; the prefilter is only armed
     # for t > 0, since at t ≤ 0 zero-norm pairs must survive).
-    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    # server-side-parsed folds (Column-API lambdas cost dozens of py4j
+    # round trips per plan construction); CAST keeps the double zero
+    # seed — a bare SQL 0.0 would parse as DECIMAL
+    norm = F.expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))")
     gv = groups.select("gid", "v", norm.alias("nv"))
     n_pref = min(dim, 2)
     pref = [
@@ -334,10 +337,9 @@ def embedding_near_dups(
             paired = paired.filter(
                 (F.col("na") > 0) & (F.col("nb") > 0) & (d * d <= eps2)
             )
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     cos = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb"))
@@ -346,17 +348,13 @@ def embedding_near_dups(
         paired.select("a", "b", F.round(cos, 6).alias("score"))
         .filter(F.col("score") >= threshold)
     )
-    mx = mem.select(F.col("gid").alias("a"), F.col("id").alias("x"))
-    my = mem.select(F.col("gid").alias("b"), F.col("id").alias("y"))
+    mx = mem.selectExpr("gid AS a", "id AS x")
+    my = mem.selectExpr("gid AS b", "id AS y")
     cross = (
         rep.join(mx, "a")
         .join(my, "b")
-        .select(
-            F.least("x", "y").alias("a"),
-            F.greatest("x", "y").alias("b"),
-            "score",
-        )
-        .filter(F.col("a") < F.col("b"))
+        .selectExpr("least(x, y) AS a", "greatest(x, y) AS b", "score")
+        .filter("a < b")
     )
     intra_scored = (
         intra_src.join(groups.select("gid", "v"), "gid")
@@ -365,13 +363,13 @@ def embedding_near_dups(
         )
         .filter(F.col("score") >= threshold)
     )
-    mg = mem.select("gid", F.col("id").alias("x"))
-    mh = mem.select("gid", F.col("id").alias("y"))
+    mg = mem.selectExpr("gid", "id AS x")
+    mh = mem.selectExpr("gid", "id AS y")
     intra = (
         intra_scored.join(mg, "gid")
         .join(mh, "gid")
-        .filter(F.col("x") < F.col("y"))
-        .select(F.col("x").alias("a"), F.col("y").alias("b"), "score")
+        .filter("x < y")
+        .selectExpr("x AS a", "y AS b", "score")
     )
     return cross.unionByName(intra)
 
