@@ -425,11 +425,17 @@ def ngram_jaccard_pairs(
        never be z of a qualifying pair, and z itself always survives),
        and per PAIR after aggregating max(u) on both sides (= the
        bound at z). Measured: 20.8M → 2.4M verified pairs at sf1.0.
-    3. Exact verification: candidates (distinct rep pairs sharing a
-       prefix shingle) join each side's collected rare-shingle array;
-       inter = size(array_intersect) — the same shared-rare-shingle
-       count the groupBy formulation produced — then the identical
-       jaccard expression and ≥-threshold filter.
+    3. Exact verification, two-tier: tier 1 joins each side's
+       collected array of xxhash64'd rare shingles and intersects
+       those narrow longs — distinct shingles can only collide INTO
+       the same hash, so the hash intersection ≥ the true one and a
+       threshold failure is a lossless reject (that is ~every
+       candidate). Tier 2 re-intersects the actual shingle-string
+       arrays for the tiny surviving set; inter = size(
+       array_intersect) — the same shared-rare-shingle count the
+       groupBy formulation produced — then the identical jaccard
+       expression and ≥-threshold filter. Output exact for every
+       input: a collision costs tier-2 work, never a wrong row.
 
     Guard interplay (unchanged semantics): a group larger than max_df
     forces df_s > max_df on every one of its shingles, so it has NO
