@@ -507,9 +507,12 @@ def ngram_jaccard_pairs(
     ).select("gid", "s", (F.col("n_rare") - F.col("rk")).alias("u"), "n")
 
     # rare-set arrays + sizes per group (groupBy reuses the gid
-    # partitioning established by the window — no extra exchange).
-    # The arrays hold xxhash64 of each rare shingle, not the string:
-    # the tier-1 verify intersects these narrow long arrays, and a
+    # exchange established by the rank window — aggregating straight
+    # off the census rows instead was tried and REVERTED: the partial
+    # agg needs a different exchange payload, so the census subtree
+    # plans twice and the frozen-bench protocol measured +2 s). The
+    # arrays hold xxhash64 of each rare shingle next to the string:
+    # the tier-1 verify intersects the narrow long arrays, and a
     # 64-bit collision can only INFLATE that intersection — tier 2
     # recomputes the exact count on the true strings for the tiny
     # surviving set, so the output is exact for every input.

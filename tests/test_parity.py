@@ -155,3 +155,60 @@ def test_rdflib_isomorphism_if_available(spark):
 
     want = oracle.v5(G.GRAMMAR_V5, rows, G.MIPL_DOMAIN)
     assert isomorphic(to_graph(got), to_graph(want))
+
+
+def test_emit_tagged_dedup_equivalence(spark):
+    """The tagged-narrow dedup path (constant pred/obj_dt templates)
+    must equal the definitional dedup over the wide triple rows, and
+    a spec with colliding (pred, obj_dt) templates must fall back to
+    the wide path and still collapse cross-rule duplicate triples."""
+    from kgforge.contract import table_melt_spec
+    from kgforge.mapping.spec import MappingSpec, Rule, t_const_iri, t_iri
+    from kgforge.triples.emit import TRIPLE_FIELDS, constant_template_terms
+
+    df = spark.createDataFrame(
+        [("k1", "a", "a"), ("k2", "b", ""), ("k3", "", "c"), ("k4", "a", "a")],
+        "pk string, c1 string, c2 string",
+    )
+    spec = table_melt_spec("http://x/", "pk", "P_", "Thing", ["c1", "c2"])
+    assert constant_template_terms(spec) is not None  # tagged path armed
+    got = {tuple(r) for r in emit_triples(df, spec).collect()}
+    want = {
+        tuple(r)
+        for r in emit_triples(df, spec, dedup=False)
+        .dropDuplicates(TRIPLE_FIELDS)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # two rules emitting the SAME constant (pred, obj_dt): the tagged
+    # narrowing must refuse (it could no longer identify the template
+    # from the output triple) and the wide path must dedup ACROSS rules
+    rules = (
+        Rule(
+            rule_id="r1",
+            column="c1",
+            templates=(
+                (t_iri("http://x/P_", "pkey", None), t_const_iri("http://x/p"),
+                 t_iri("http://x/V_", "raw", None)),
+            ),
+        ),
+        Rule(
+            rule_id="r2",
+            column="c2",
+            templates=(
+                (t_iri("http://x/P_", "pkey", None), t_const_iri("http://x/p"),
+                 t_iri("http://x/V_", "raw", None)),
+            ),
+        ),
+    )
+    collide = MappingSpec(
+        profile="v5", domain="http://x/", rules=rules, pkey_column="pk"
+    )
+    assert constant_template_terms(collide) is None  # wide path
+    out = [tuple(r) for r in emit_triples(df, collide).collect()]
+    # rows k1/k4 emit the identical triple from BOTH rules (c1 == c2)
+    # and k1 == k4 up to subject key; global dedup keeps exactly one
+    # row per distinct triple
+    assert len(out) == len(set(out))
+    assert ("http://x/P_k1", "http://x/p", "http://x/V_a", None) in out

@@ -692,3 +692,23 @@ def test_token_count_bpe_mode(spark):
 
     with _pytest.raises(ValueError, match="unknown tokenizer"):
         token_count(df, tokenizer="wordpiece")
+
+
+def test_simhash_packed_lanes_long_doc(spark):
+    """The packed-lane bit counters (30×2-lane sums) must agree with
+    the single-node ±1 model when per-bit counts run deep — a 5,000
+    token document exercises lane accumulation far past small-doc
+    counts while staying bit-identical."""
+    import random as _r
+
+    from kgforge.textops.dedup import simhash
+
+    rng = _r.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    long_text = " ".join(rng.choice(vocab) for _ in range(5000))
+    df = spark.createDataFrame(
+        [(0, long_text), (1, "one two three")], "doc_id long, text string"
+    )
+    sigs = {r.id: r.simhash for r in simhash(df).collect()}
+    assert sigs[0] == _simhash_model(long_text)
+    assert sigs[1] == _simhash_model("one two three")
