@@ -425,6 +425,13 @@ def ngram_jaccard_pairs(
        never be z of a qualifying pair, and z itself always survives),
        and per PAIR after aggregating max(u) on both sides (= the
        bound at z). Measured: 20.8M → 2.4M verified pairs at sf1.0.
+    2b. TIER-0 BITMAP FILTER (lossless, in-lambda): each group carries
+       a 256-bit bitmap of its rare-shingle hashes (4 longs, bit_or
+       over the same gid window). popcount(OR of the two bitmaps)
+       ≤ |union|, so na + nb − popcount(OR) is an upper bound on the
+       intersection; pairs whose bound misses t/(1+t)·(na+nb) are
+       rejected before the pair shuffle. See the inline comment for
+       why OR (not AND) is the sound direction.
     3. Exact verification, two-tier: tier 1 joins each side's
        collected array of xxhash64'd rare shingles and intersects
        those narrow longs — distinct shingles can only collide INTO
@@ -486,7 +493,9 @@ def ngram_jaccard_pairs(
     # ONE pass by gid --------------------------------------------------
     exd = ex.withColumn(
         "dft", F.sum("gsize").over(Window.partitionBy("s"))
-    ).withColumn("is_common", F.col("dft") > max_df)
+    ).withColumn("is_common", F.col("dft") > max_df).withColumn(
+        "xh", F.xxhash64(F.col("s"))
+    )
     wo = Window.partitionBy("gid").orderBy("is_common", "dft", "s")
     wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = (
@@ -496,6 +505,19 @@ def ngram_jaccard_pairs(
         )
         .withColumn("rk", F.row_number().over(wo))
     )
+    # 256-bit rare-set bitmap per group (4 longs, OR of one hash bit
+    # per rare shingle) — rides the same gid window (no extra
+    # exchange, no ORDER BY needed for bit_or). Used by the in-lambda
+    # tier-0 candidate filter below.
+    for _j in range(4):
+        ranked = ranked.withColumn(
+            f"w{_j}",
+            F.expr(
+                f"bit_or(CASE WHEN NOT is_common AND pmod(xh, 256) DIV 64 = {_j} "
+                f"THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(xh, 64) AS INT)) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            ).over(Window.partitionBy("gid")),
+        )
     c = F.greatest(
         F.lit(1), F.floor(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
     )
@@ -504,7 +526,16 @@ def ngram_jaccard_pairs(
     # two fields narrower
     prefix = ranked.filter(
         (~F.col("is_common")) & (F.col("rk") <= F.col("n_rare") - c + 1)
-    ).select("gid", "s", (F.col("n_rare") - F.col("rk")).alias("u"), "n")
+    ).select(
+        "gid",
+        "s",
+        (F.col("n_rare") - F.col("rk")).alias("u"),
+        "n",
+        "w0",
+        "w1",
+        "w2",
+        "w3",
+    )
 
     # rare-set arrays + sizes per group (groupBy reuses the gid
     # exchange established by the rank window — aggregating straight
@@ -517,9 +548,7 @@ def ngram_jaccard_pairs(
     # recomputes the exact count on the true strings for the tiny
     # surviving set, so the output is exact for every input.
     rsets = ranked.groupBy("gid").agg(
-        F.collect_list(F.when(~F.col("is_common"), F.xxhash64(F.col("s")))).alias(
-            "hs"
-        ),
+        F.collect_list(F.when(~F.col("is_common"), F.col("xh"))).alias("hs"),
         F.collect_list(F.when(~F.col("is_common"), F.col("s"))).alias("ss"),
         F.first("n").alias("n"),
         F.first("n_rare").alias("n_rare"),
@@ -533,7 +562,11 @@ def ngram_jaccard_pairs(
     # sort would re-run once per element (no CSE across lambda bodies)
     buckets = (
         prefix.groupBy("s")
-        .agg(F.collect_list(F.struct("gid", "u", "n")).alias("es0"))
+        .agg(
+            F.collect_list(
+                F.struct("gid", "u", "n", "w0", "w1", "w2", "w3")
+            ).alias("es0")
+        )
         .filter(F.size("es0") >= 2)
         .select(F.array_sort("es0").alias("es"))  # gid is field 1 → a < b
     ).repartition(n_part)
@@ -541,19 +574,38 @@ def ngram_jaccard_pairs(
     t_f = float(threshold)
     # positional filter applied PER OCCURRENCE, INSIDE the pair-array
     # construction (the lambda filters partners before the struct is
-    # built, so the generate emits 2.4e6 surviving structs instead of
-    # materializing all 2.08e7 and filtering after — same predicate,
+    # built, so the generate emits only the surviving structs instead
+    # of materializing all 2.08e7 and filtering after — same predicate,
     # same survivors): for a qualifying pair the z occurrence attains
     # BOTH max remaining-counts, so its individual bound equals the
     # pair-level bound and it survives; occurrences that fail
     # individually can never be z of a qualifying pair. The groupBy
     # then re-applies the test at the pair level (max(u) both sides =
     # the z bound).
+    #
+    # TIER-0 BITMAP FILTER (round-7 continuation), also in-lambda and
+    # lossless: popcount(wA | wB) ≤ |rareA ∪ rareB| (every distinct set
+    # bit requires ≥ 1 element), hence
+    #   inter = n_rare_a + n_rare_b − |union| ≤ x.n + y.n − popcount(OR)
+    # (n ≥ n_rare keeps it an upper bound), so a pair whose bound
+    # already misses inter ≥ t/(1+t)·(na+nb) can never verify. On the
+    # bench corpus this rejects ~99% of positional-filter survivors
+    # before the pair shuffle and the array-intersect verify (2.43M →
+    # ~2.6k pairs; the 62 s-CPU verify stage collapses). NOTE the OR
+    # direction: popcount(AND) is NOT a bound on the intersection —
+    # two common elements can collide into one bit (measured: it
+    # silently drops true pairs).
+    _bb = (
+        "CAST(x.n + y.n - (bit_count(x.w0 | y.w0) + bit_count(x.w1 | y.w1) "
+        "+ bit_count(x.w2 | y.w2) + bit_count(x.w3 | y.w3)) AS DOUBLE)"
+    )
     pair_structs = F.expr(
         "flatten(transform(es, (x, i) -> "
         "transform("
         f"filter(slice(es, i + 2, size(es)), "
         f"y -> (1 + least(x.u, y.u)) >= "
+        f"(CAST({t_f!r} AS DOUBLE) / {1.0 + t_f!r} * (x.n + y.n) - 1e-9) "
+        f"AND {_bb} >= "
         f"(CAST({t_f!r} AS DOUBLE) / {1.0 + t_f!r} * (x.n + y.n) - 1e-9)), "
         "y -> struct(x.gid AS a, y.gid AS b, x.u AS ua, y.u AS ub, "
         "x.n AS na, y.n AS nb))))"
