@@ -301,9 +301,14 @@ def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.textops.similarity import embedding_near_dups
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # dim probed on the plain scan (one-row take, ~0.13 s) instead of
+    # letting the library probe the union-of-scans plan (~1.7 s cold)
+    row = emb.select("embedding").first()
+    if row is None:
+        return spark.createDataFrame([], "a bigint, b bigint, score double")
     clone = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     return embedding_near_dups(
-        emb.unionByName(clone), threshold=0.999, profile=SAFE
+        emb.unionByName(clone), threshold=0.999, profile=SAFE, dim=len(row[0])
     ).select(
         F.col("a").cast("bigint").alias("a"),
         F.col("b").cast("bigint").alias("b"),

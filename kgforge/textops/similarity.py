@@ -169,6 +169,7 @@ def embedding_near_dups(
     max_bucket: int | None = SAFE.max_bucket,
     oversize: str = SAFE.oversize,
     profile: ScaleProfile | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, score ≥ threshold):
     bucket by hyperplane signs, pair only within buckets, verify with
@@ -220,10 +221,17 @@ def embedding_near_dups(
         max_bucket, oversize = profile.max_bucket, profile.oversize
     if oversize not in ("join", "drop"):
         raise ValueError(f"unknown oversize policy {oversize!r}")
-    first = df.select(F.col(vec_col)).first()
-    if first is None:
-        return df.sparkSession.createDataFrame([], "a long, b long, score double")
-    dim = len(first[0])
+    if dim is None:
+        # dim probe = a driver take(1) job over the full input plan;
+        # callers that know the dimension (or can probe a cheaper
+        # subset of the input) should pass `dim` — measured 1.7 s cold
+        # for a union-of-scans plan vs 0.13 s for the plain base scan
+        first = df.select(F.col(vec_col)).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "a long, b long, score double"
+            )
+        dim = len(first[0])
     vec = _as_double(F.col(vec_col))
     base = df.select(F.col(id_col).alias("id"), vec.alias("v"))
 
