@@ -712,3 +712,92 @@ def test_simhash_packed_lanes_long_doc(spark):
     sigs = {r.id: r.simhash for r in simhash(df).collect()}
     assert sigs[0] == _simhash_model(long_text)
     assert sigs[1] == _simhash_model("one two three")
+
+
+def test_ngram_bitmap_prefilter_lossless(spark):
+    """The tier-0 bitmap reject (popcount of OR'd 256-bit rare-set
+    bitmaps as a union lower bound) must lose nothing even when it is
+    at its loosest and its tightest:
+
+    * docs with ~300 distinct shingles SATURATE the 256-bit bitmap
+      (heavy hash collisions) — the union bound goes slack and every
+      candidate must fall through to the exact verify, never be
+      wrongly rejected;
+    * mid-similarity pairs sit near the threshold on both sides.
+
+    The whole output is compared against an independently computed
+    brute-force jaccard over the exact shingle-set model."""
+    import random as _r
+
+    rng = _r.Random(13)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = {}
+    docid = 0
+    base = [rng.choice(vocab) for _ in range(300)]
+    for _d in range(10):
+        texts[docid] = [rng.choice(vocab) for _ in range(300)]
+        docid += 1
+    texts[100] = list(base)
+    # graded mutants of doc 100: jaccard from ~0.97 down past the
+    # threshold, so pairs land on both sides of 0.3
+    for k in (3, 30, 45, 60, 90, 180, 260):
+        toks = list(base)
+        for j in range(k):
+            toks[(j * 7) % 300] = rng.choice(vocab)
+        docid += 1
+        texts[100 + docid] = toks
+    texts[999] = list(base)  # exact clone -> intra-group path
+    # tiny docs whose single shared shingle the bitmap CAN reject
+    texts[7000] = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    texts[7001] = ["a", "b", "c", "z1", "z2", "z3", "z4", "z5"]
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, shingle_k=3, threshold=0.3, max_df=10**6
+        ).collect()
+    }
+
+    def sh(toks):
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    expect = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter < 1:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.3:
+                expect[(a, b)] = j
+    assert out == expect
+    # the fixture must actually exercise both regimes
+    assert any(j < 0.55 for j in expect.values())  # near-threshold pair kept
+    assert (7000, 7001) not in out  # sub-threshold pair rejected
+
+
+def test_spread_small_scan(spark, tmp_path):
+    """_spread_small_scan: a small single-file scan is spread to the
+    session's shuffle parallelism; non-file sources pass through
+    untouched; triple output is unaffected either way."""
+    import pandas as pd
+
+    from kgforge.triples.emit import _spread_small_scan
+
+    p = str(tmp_path / "small.parquet")
+    pd.DataFrame({"k": range(1000), "v": [f"x{i}" for i in range(1000)]}).to_parquet(p)
+    df = spark.read.parquet(p)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spread = _spread_small_scan(df)
+    assert spread.rdd.getNumPartitions() == n_part
+    assert sorted(r.k for r in spread.collect()) == list(range(1000))
+
+    local = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert _spread_small_scan(local) is local
