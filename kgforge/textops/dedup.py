@@ -426,8 +426,9 @@ def ngram_jaccard_pairs(
        and per PAIR after aggregating max(u) on both sides (= the
        bound at z). Measured: 20.8M → 2.4M verified pairs at sf1.0.
     2b. TIER-0 BITMAP FILTER (lossless, in-lambda): each group carries
-       a 256-bit bitmap of its rare-shingle hashes (4 longs, bit_or
-       over the same gid window). popcount(OR of the two bitmaps)
+       a 256-bit bitmap of its rare-shingle hashes (4 longs, folded
+       from the per-group sorted rare array). popcount(OR of the two
+       bitmaps)
        ≤ |union|, so na + nb − popcount(OR) is an upper bound on the
        intersection; pairs whose bound misses t/(1+t)·(na+nb) are
        rejected before the pair shuffle. See the inline comment for
@@ -488,71 +489,78 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(_shingles_of_tokens(F.col("toks"), shingle_k))).alias("s"),
     )
 
-    # -- 2. doc-weighted df census in ONE pass by s (window, not a
-    # second aggregate subtree), then sizes/rare-count/prefix-rank in
-    # ONE pass by gid --------------------------------------------------
+    # -- 2. doc-weighted df census in ONE pass by s (window), then ONE
+    # groupBy(gid) aggregate for EVERYTHING per-group (round-7
+    # continuation — replaces the rank-window chain): each group
+    # collects its rare (dft, s, xh) structs once; a projection above
+    # derives the sorted rare array, sizes, the prefix entries (by
+    # slice — rank = array position after array_sort on (dft, s), the
+    # identical global rarest-first order), the tier-1/2 verify arrays
+    # and the tier-0 bitmap, all behind ONE hash-repartition barrier.
+    # The former shape computed two windows over the 2.6M-row exploded
+    # table and re-executed them once per pruned consumer (profiled:
+    # 3 Window+aggregate stages ≈ 90 s task-CPU at the sf1.0 bench);
+    # this shape runs the census window once, sorts ~50-element arrays
+    # per GROUP instead of sorting the whole partition, and the
+    # barrier exchange carries one row per group.
     exd = ex.withColumn(
         "dft", F.sum("gsize").over(Window.partitionBy("s"))
-    ).withColumn("is_common", F.col("dft") > max_df).withColumn(
-        "xh", F.xxhash64(F.col("s"))
+    ).withColumn("is_common", F.col("dft") > max_df)
+
+    t_f = float(threshold)
+    per0 = exd.groupBy("gid").agg(
+        F.collect_list(
+            F.when(
+                ~F.col("is_common"),
+                F.struct(
+                    F.col("dft"), F.col("s"), F.xxhash64(F.col("s")).alias("xh")
+                ),
+            )
+        ).alias("rs0"),
+        F.count(F.lit(1)).alias("n"),
     )
-    wo = Window.partitionBy("gid").orderBy("is_common", "dft", "s")
-    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = (
-        exd.withColumn("n", F.count(F.lit(1)).over(wfull))
-        .withColumn(
-            "n_rare", F.sum((~F.col("is_common")).cast("int")).over(wfull)
+    # prefix length = n_rare − c + 1 with c = max(1, ⌊t·n − 1e-9⌋);
+    # `u` = elements remaining at/after a prefix slot (n_rare − rk).
+    # The 256-bit bitmap (4 longs, one hash bit per rare shingle) feeds
+    # the in-lambda tier-0 filter below.
+    per = (
+        per0.selectExpr("gid", "n", "array_sort(rs0) AS rs")
+        .selectExpr(
+            "gid",
+            "n",
+            "CAST(size(rs) AS BIGINT) AS n_rare",
+            "transform(rs, e -> e.xh) AS hs",
+            "transform(rs, e -> e.s) AS ss",
+            (
+                "transform(slice(rs, 1, greatest(0, size(rs) - "
+                f"greatest(1, CAST(floor({t_f!r} * n - 1e-9) AS INT)) + 1)), "
+                "(e, i) -> struct(e.s AS s, "
+                "CAST(size(rs) - (i + 1) AS BIGINT) AS u)) AS pref"
+            ),
+            *[
+                f"aggregate(rs, CAST(0 AS BIGINT), (acc, e) -> acc | "
+                f"IF(pmod(e.xh, 256) DIV 64 = {j}, "
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(e.xh, 64) AS INT)), "
+                f"CAST(0 AS BIGINT))) AS w{j}"
+                for j in range(4)
+            ],
         )
-        .withColumn("rk", F.row_number().over(wo))
+        .repartition(n_part, "gid")
     )
-    # 256-bit rare-set bitmap per group (4 longs, OR of one hash bit
-    # per rare shingle) — rides the same gid window (no extra
-    # exchange, no ORDER BY needed for bit_or). Used by the in-lambda
-    # tier-0 candidate filter below.
-    for _j in range(4):
-        ranked = ranked.withColumn(
-            f"w{_j}",
-            F.expr(
-                f"bit_or(CASE WHEN NOT is_common AND pmod(xh, 256) DIV 64 = {_j} "
-                f"THEN shiftleft(CAST(1 AS BIGINT), CAST(pmod(xh, 64) AS INT)) "
-                f"ELSE CAST(0 AS BIGINT) END)"
-            ).over(Window.partitionBy("gid")),
-        )
-    c = F.greatest(
-        F.lit(1), F.floor(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
-    )
-    # `u` = elements remaining at/after this prefix slot (n_rare − rk);
-    # carrying (u, n) instead of (rk, n, n_rare) keeps the pair structs
-    # two fields narrower
-    prefix = ranked.filter(
-        (~F.col("is_common")) & (F.col("rk") <= F.col("n_rare") - c + 1)
+
+    prefix = per.select(
+        "gid", F.explode("pref").alias("p"), "n", "w0", "w1", "w2", "w3"
     ).select(
         "gid",
-        "s",
-        (F.col("n_rare") - F.col("rk")).alias("u"),
+        F.col("p.s").alias("s"),
+        F.col("p.u").alias("u"),
         "n",
         "w0",
         "w1",
         "w2",
         "w3",
     )
-
-    # rare-set arrays + sizes per group (groupBy reuses the gid
-    # exchange established by the rank window — aggregating straight
-    # off the census rows instead was tried and REVERTED: the partial
-    # agg needs a different exchange payload, so the census subtree
-    # plans twice and the frozen-bench protocol measured +2 s). The
-    # arrays hold xxhash64 of each rare shingle next to the string:
-    # the tier-1 verify intersects the narrow long arrays, and a
-    # 64-bit collision can only INFLATE that intersection — tier 2
-    # recomputes the exact count on the true strings for the tiny
-    # surviving set, so the output is exact for every input.
-    rsets = ranked.groupBy("gid").agg(
-        F.collect_list(F.when(~F.col("is_common"), F.col("xh"))).alias("hs"),
-        F.collect_list(F.when(~F.col("is_common"), F.col("s"))).alias("ss"),
-        F.first("n").alias("n"),
-        F.first("n_rare").alias("n_rare"),
-    )
+    rsets = per  # per-group arrays/sizes — same columns the verify used
 
     # -- candidates: rep pairs sharing a PREFIX shingle (buckets are
     # bounded by df_s ≤ max_df, as before), each occurrence carrying
